@@ -88,7 +88,10 @@ def potf2(uplo, A):
         return A, info
 
     body = body_lower if uplo == Uplo.LOWER else body_upper
-    A, info = lax.fori_loop(0, n, body, (A, jnp.int32(0)))
+    # initial info derived from A so its varying-axes signature matches the
+    # loop output under shard_map (see parallel/potrf.py)
+    info0 = (jnp.sum(A.real) * 0).astype(jnp.int32)
+    A, info = lax.fori_loop(0, n, body, (A, info0))
     return A, info
 
 
@@ -215,7 +218,8 @@ def trti2(uplo, diag, A):
         return A, info
 
     body = body_upper if uplo == Uplo.UPPER else body_lower
-    A, info = lax.fori_loop(0, n, body, (A, jnp.int32(0)))
+    info0 = (jnp.sum(A.real) * 0).astype(jnp.int32)
+    A, info = lax.fori_loop(0, n, body, (A, info0))
     return A, info
 
 
