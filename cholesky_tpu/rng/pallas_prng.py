@@ -1,0 +1,72 @@
+"""On-device bulk random fills: a Pallas kernel over the TPU hardware PRNG.
+
+Rebuild of the reference's GPU MTGP32/64 generators (reference rng/mtgp32.cu
+kernels + rng/mtgp32.c:1-117 host drivers + 11k-line parameter tables): the
+role — filling large device buffers with uniform floats without host
+round-trips — is played by the TPU per-core PRNG (pltpu.prng_seed /
+prng_random_bits) inside a grid kernel; the Mersenne parameter tables have
+no TPU analog and are not needed (counter/seed-based hardware generator).
+
+The four interval variants of the reference's rng.h:21-101 are supported via
+the same transforms as rng/generators.py. Off-TPU (the CPU test mesh) the
+hardware PRNG does not exist even in interpret mode, so a threefry fallback
+with identical interval semantics is used — the sequential-runtime analog.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cholesky_tpu import config
+from cholesky_tpu.rng.generators import Interval, uniform as _threefry_uniform
+
+_ROWS_PER_BLOCK = 256
+
+
+def _fill_kernel(seed_ref, o_ref):
+    # decorrelate grid blocks: per-block seed = base seed + block index
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # prng_random_bits yields int32 on this toolchain — bitcast to uint32
+    # before shifting, or the arithmetic shift smears the sign bit into the
+    # exponent (NaNs)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(o_ref.shape), jnp.uint32)
+    # uint32 → [1, 2) via mantissa stuffing, then subtract 1 → [0, 1)
+    f = pltpu.bitcast(jnp.uint32(0x3F800000) | (bits >> 9), jnp.float32)
+    o_ref[:] = f - 1.0
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "interval"))
+def uniform_device(seed: int, shape, interval=Interval.HALF_OPEN_01):
+    """Uniform f32 fill of ``shape`` (2-D) using the on-chip PRNG.
+    Deterministic in (seed, shape). Interval semantics per rng.h variants."""
+    interval = Interval(interval)
+    if config.pallas_interpret():
+        # no hardware PRNG off-TPU; threefry fallback with same contract
+        return _threefry_uniform(jax.random.PRNGKey(seed), shape,
+                                 jnp.float32, interval)
+    rows, cols = shape
+    rp = min(_ROWS_PER_BLOCK, -(-rows // 8) * 8)
+    rows_p = -(-rows // rp) * rp
+    cols_p = -(-cols // 128) * 128
+    u = pl.pallas_call(
+        _fill_kernel,
+        grid=(rows_p // rp,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((rp, cols_p), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_p, cols_p), jnp.float32),
+    )(jnp.asarray([seed], jnp.int32))
+    u = u[:rows, :cols]
+    eps = jnp.finfo(jnp.float32).eps
+    if interval == Interval.HALF_OPEN_01:
+        return u
+    if interval == Interval.HALF_OPEN_10:
+        return 1.0 - u
+    if interval == Interval.CLOSED:
+        return u / (1.0 - eps)
+    return u * (1.0 - eps) + eps
