@@ -26,11 +26,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
 from cholesky_tpu.ops import blocked
 from cholesky_tpu.rng import latmc
+from cholesky_tpu.utils.benchlib import bench_op
 
 BASELINE_GFLOPS = 175.0
 N = 4096
 NB = 128
-ITERS = 20
 
 
 def log(*a):
@@ -62,11 +62,10 @@ def main():
                           "error": f"accuracy failure resid={resid}"}))
         return
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        F, info = f(A)
-    jax.block_until_ready(F)
-    dt = (time.perf_counter() - t0) / ITERS
+    # forced-completion timing (utils/benchlib.py): chained dependent
+    # iterations inside one jit + host fetch — block_until_ready alone can
+    # return before remote execution finishes on this runtime
+    dt = bench_op(lambda x: f(x)[0], A, chain=4, reps=3)
     flops = n ** 3 / 3 + n ** 2 / 2 + n / 6
     gf = flops / dt / 1e9
     log(f"potrf n={n}: {dt * 1e3:.2f} ms -> {gf:.0f} GFLOP/s")

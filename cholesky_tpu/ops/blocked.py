@@ -108,8 +108,12 @@ class _XlaTiles:
 
 class _PallasTiles:
     """f32 tiles over hand-written Pallas MXU kernels."""
-    default_nb = _pl.LEAF_N
     dtype = jnp.dtype(jnp.float32)
+
+    @property
+    def default_nb(self) -> int:
+        from cholesky_tpu.tuning import get_params
+        return get_params("potrf_f32")["leaf_nb"]
 
     def mm(self, A, B, *, ta="N", tb="N", alpha=1.0, beta=0.0, C=None):
         A = A.T if ta in ("T", "C") else A

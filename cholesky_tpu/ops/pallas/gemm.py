@@ -60,9 +60,16 @@ def _mm_kernel(a_ref, b_ref, c_ref, o_ref, acc_ref, *, alpha, beta, nk):
 
 @functools.partial(jax.jit, static_argnames=("alpha", "beta", "bm", "bn", "bk"))
 def matmul_f32(A, B, C=None, *, alpha: float = 1.0, beta: float = 0.0,
-               bm: int = DEFAULT_BM, bn: int = DEFAULT_BN, bk: int = DEFAULT_BK):
+               bm: int = None, bn: int = None, bk: int = None):
     """D = alpha·A@B (+ beta·C). f32 in, f32 out. Any shapes (padded
-    internally to MXU tiles); alpha/beta are static floats."""
+    internally to MXU tiles); alpha/beta are static floats. Block shapes
+    default to the device's tuning table (tuning/table.py)."""
+    if bm is None or bn is None or bk is None:
+        from cholesky_tpu.tuning import get_params
+        p = get_params("matmul_f32")
+        bm = bm or p["bm"]
+        bn = bn or p["bn"]
+        bk = bk or p["bk"]
     m, k = A.shape
     k2, n = B.shape
     assert k == k2, (A.shape, B.shape)

@@ -52,30 +52,78 @@ def _col_of(O, cols, j):
     return jnp.sum(jnp.where(cols == j, O, 0.0), axis=1, keepdims=True)
 
 
+PANEL = 128  # lane-aligned panel width (Mosaic can slice lanes at ×128)
+
+
 def _potf2_kernel(a_ref, o_ref, info_ref, *, n):
+    """Two-level in-VMEM Cholesky: 128-wide panel column sweeps (VPU) + one
+    rank-128 MXU trailing update per panel. The panel split is what the
+    reference's spptf2 packed-shared-memory kernel achieves with its 64-wide
+    thread block (spotrf.cu:26-107) — here the panel is the lane width."""
+    panel = n if n < PANEL else PANEL       # small leaves: single panel
     rows, cols = _iota2(n)
-    rcol = rows[:, :1]                      # (n, 1) row index column
+    # build small index arrays directly — Mosaic's layout pass crashes on
+    # static slices of iotas (vector_extract_strided_slice) for n > 128
+    rcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    rowsp = lax.broadcasted_iota(jnp.int32, (n, panel), 0)
+    colsp = lax.broadcasted_iota(jnp.int32, (n, panel), 1)
     o_ref[:] = a_ref[:]
 
-    def body(j, info):
+    def panel_body(jp, info):
+        base = jp * panel
+        # Mosaic crashes on dynamic lane-dim slices (even 128-aligned), so
+        # the panel is gathered/scattered with an exact 0/1 selector matmul:
+        # S[r, c] = 1 iff r == base + c  ⇒  O·S = O[:, base:base+PANEL].
+        S = (rowsp == colsp + base).astype(jnp.float32)
         O = o_ref[:]
-        col = _col_of(O, cols, j)
-        d2 = jnp.sum(jnp.where(rcol == j, col, 0.0))
-        bad = d2 <= 0.0
-        info = jnp.where(bad & (info == 0), j + 1, info)
-        d = jnp.sqrt(jnp.where(bad, 1.0, d2))
-        newcol = jnp.where(rcol == j, d,
-                           jnp.where(rcol > j, col / d, 0.0))
-        # rank-1 trailing update A[:, j+1:] -= newcol·newcolᵀ
-        # (newcol is zero above row j, so rows ≤ j are untouched)
-        outer = lax.dot_general(newcol, newcol, _OUTER,
-                                preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)
-        o_ref[:] = jnp.where(cols == j, newcol,
-                             jnp.where(cols > j, O - outer, O))
+        P = lax.dot_general(O, S, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+
+        def col_body(jj, carry):
+            P, info = carry
+            j = base + jj                   # global pivot row
+            col = jnp.sum(jnp.where(colsp == jj, P, 0.0), axis=1,
+                          keepdims=True)
+            d2 = jnp.sum(jnp.where(rcol == j, col, 0.0))
+            bad = d2 <= 0.0
+            info = jnp.where(bad & (info == 0), j + 1, info)
+            d = jnp.sqrt(jnp.where(bad, 1.0, d2))
+            newcol = jnp.where(rcol == j, d,
+                               jnp.where(rcol > j, col / d, 0.0))
+            P = jnp.where(colsp == jj, newcol, P)
+            # newcol's panel-row segment as a (1, PANEL) row: masked
+            # diagonal reduction (Mosaic has no cheap (n,1)→(1,n) transpose)
+            rowv = jnp.sum(jnp.where(rowsp == colsp + base, newcol, 0.0),
+                           axis=0, keepdims=True)
+            upd = lax.dot_general(newcol, rowv, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.HIGHEST)
+            P = jnp.where(colsp > jj, P - upd, P)
+            return P, info
+
+        P, info = lax.fori_loop(0, panel, col_body, (P, info))
+        # scatter the panel back: (P·Sᵀ)[r, c] = P[r, c−base] inside the
+        # panel's columns, 0 elsewhere
+        PS = lax.dot_general(P, S, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)
+        in_panel = (cols >= base) & (cols < base + panel)
+        # rank-`panel` trailing update on the MXU:
+        # A[:, base+P:] -= L₂·L₂ᵀ with L₂ = panel rows below the pivot block
+        Lpan = jnp.where(rowsp >= base + panel, P, 0.0)
+        G = lax.dot_general(Lpan, Lpan, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+        o_ref[:] = jnp.where(in_panel, PS,
+                             jnp.where(cols >= base + panel,
+                                       o_ref[:] - G, o_ref[:]))
         return info
 
-    info = lax.fori_loop(0, n, body, jnp.int32(0))
+    if n <= panel:
+        info = panel_body(0, jnp.int32(0))
+    else:
+        info = lax.fori_loop(0, n // panel, panel_body, jnp.int32(0))
     # zero the strict upper triangle (driver contract)
     o_ref[:] = jnp.where(cols > rows, 0.0, o_ref[:])
     info_ref[0, 0] = info
@@ -87,6 +135,8 @@ def potf2_f32(A):
     triangle of the output is zeroed."""
     n = A.shape[0]
     assert A.shape == (n, n) and A.dtype == jnp.float32
+    assert n <= PANEL or n % PANEL == 0, \
+        f"potf2_f32 leaf size {n} must be <= {PANEL} or a multiple of it"
     L, info = pl.pallas_call(
         functools.partial(_potf2_kernel, n=n),
         out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
@@ -101,7 +151,7 @@ def potf2_f32(A):
 
 def _trti2_kernel(a_ref, o_ref, info_ref, *, n, unit):
     rows, cols = _iota2(n)
-    rcol = rows[:, :1]
+    rcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     # keep only the (strict, if unit) lower triangle; junk above must not
     # pollute the column sweeps
     if unit:

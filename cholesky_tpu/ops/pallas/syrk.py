@@ -65,9 +65,15 @@ def _syrk_kernel(ii_ref, jj_ref, ai_ref, aj_ref, c_ref, o_ref, acc_ref,
 @functools.partial(jax.jit,
                    static_argnames=("alpha", "beta", "bn", "bk"))
 def syrk_f32(A, C, *, alpha: float = 1.0, beta: float = 1.0,
-             bn: int = DEFAULT_BN, bk: int = DEFAULT_BK):
+             bn: int = None, bk: int = None):
     """Lower-triangle C := alpha·A·Aᵀ + beta·C for f32; the strict upper
-    triangle of C is returned unchanged. A is (n, k), C is (n, n)."""
+    triangle of C is returned unchanged. A is (n, k), C is (n, n).
+    Block shapes default to the device's tuning table."""
+    if bn is None or bk is None:
+        from cholesky_tpu.tuning import get_params
+        p = get_params("syrk_f32")
+        bn = bn or p["bn"]
+        bk = bk or p["bk"]
     n, k = A.shape
     assert C.shape == (n, n) and A.dtype == C.dtype == jnp.float32
 

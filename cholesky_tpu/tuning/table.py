@@ -1,0 +1,58 @@
+"""Tuning table: per-device-kind kernel block shapes.
+
+Rebuild of the reference's build-time autotuner output include/config.h
+(reference blas/config.c — occupancy + bandwidth-reduction factorization +
+kb hill-climb, emitting SGEMM_N_MB…ZGEMM_CC_KB macros consumed at runtime,
+sgemm.c:216-218): here the sweep lives in tools/autotune.py, results are
+JSON keyed by jax device_kind, and kernels read them at trace time. The
+PCIe cost model half of config.c (BANDWIDTH_/OVERHEAD_*) has no TPU analog
+— matrices are HBM-resident (SURVEY.md §7 layer mapping).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import re
+from pathlib import Path
+
+import jax
+
+_TABLES_DIR = Path(__file__).parent / "tables"
+
+#: shipped defaults, used when no table matches the device
+DEFAULTS = {
+    "matmul_f32": {"bm": 256, "bn": 256, "bk": 512},
+    "syrk_f32": {"bn": 256, "bk": 512},
+    "potrf_f32": {"leaf_nb": 128},
+}
+
+
+def _slug(device_kind: str) -> str:
+    return re.sub(r"[^a-z0-9]+", "_", device_kind.lower()).strip("_")
+
+
+def table_path(device_kind: str | None = None) -> Path:
+    if device_kind is None:
+        device_kind = jax.devices()[0].device_kind
+    return _TABLES_DIR / f"{_slug(device_kind)}.json"
+
+
+@functools.lru_cache(maxsize=8)
+def load_table(device_kind: str | None = None) -> dict:
+    try:
+        p = table_path(device_kind)
+    except Exception:
+        return {}
+    if p.exists():
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def get_params(op: str, device_kind: str | None = None) -> dict:
+    """Tuned parameters for ``op`` on the current device, falling back to
+    shipped defaults (the runtime analog of #include <config.h>)."""
+    base = dict(DEFAULTS.get(op, {}))
+    base.update(load_table(device_kind).get(op, {}))
+    return base

@@ -1,0 +1,56 @@
+"""Trustworthy device timing on asynchronously-dispatched runtimes.
+
+Two failure modes make naive timing loops lie on remote-attached TPUs
+(both observed on the axon-tunnel v5e):
+  1. per-call dispatch overhead (~ms) swamps the kernel time;
+  2. ``block_until_ready`` can return before remote execution completes,
+     yielding physically impossible numbers (microsecond "factorizations");
+     only a host transfer of output data forces real completion.
+
+The fix: run `chain` dependent iterations INSIDE one jitted program — each
+iteration's input is perturbed by a scalar extracted from the previous
+output, so XLA cannot parallelize or elide them — and return a reduction
+whose value is fetched to host. Per-op time = (total − overhead) / chain.
+
+This is the measurement discipline behind every number the library reports
+(bench.py, tools/autotune.py, tools/sweep.py). The reference's analog is
+CUevent timing around a 20-iteration loop (test/lapack/cuspotrf.c:129-141).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_op(op_fn, x, *, chain: int = 8, reps: int = 3,
+             perturb_scale: float = 1e-30):
+    """Median seconds per op_fn(x) call, measured with forced completion.
+
+    ``op_fn`` maps one array to one array (wrap multi-arg ops in a lambda
+    closing over the other operands). Output may be any pytree; its first
+    leaf is reduced for the dependency chain.
+    """
+
+    @jax.jit
+    def chained(x, acc0):
+        def body(i, carry):
+            x_i, acc = carry
+            out = op_fn(x_i + acc * perturb_scale)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            acc = jnp.sum(leaf).real.astype(jnp.float32) * 1e-30
+            return x, acc
+
+        _, acc = jax.lax.fori_loop(0, chain, body, (x, acc0))
+        return acc
+
+    zero = jnp.float32(0.0)
+    float(chained(x, zero))               # warm compile + warm path
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chained(x, zero))           # host fetch ⇒ real completion
+        times.append((time.perf_counter() - t0) / chain)
+    return sorted(times)[len(times) // 2]

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Kernel block-shape autotuner — run on the target chip.
+
+Rebuild of the reference's build-time autotuner (reference blas/config.c:
+occupancy probing cuFuncMaxBlocksPerMP:328, bandwidth-reduction
+factorization getMaxReduction:356, kb hill-climb cuSgemmBenchmark:389):
+sweeps Pallas block shapes on the actual device and writes the winning
+configuration to cholesky_tpu/tuning/tables/<device_kind>.json, which the
+kernels consume at trace time (tuning/table.py).
+
+Timing uses chained invocations inside one jit so the per-dispatch tunnel
+overhead (~ms on remote-attached chips) cancels out.
+
+Usage: python tools/autotune.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_autotune_cache")
+
+from cholesky_tpu.ops.pallas import gemm as pgemm
+from cholesky_tpu.ops.pallas import syrk as psyrk
+from cholesky_tpu.ops import blocked
+from cholesky_tpu.tuning.table import table_path
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+from cholesky_tpu.utils.benchlib import bench_op
+
+
+def _bench_chain(make_call, x0, iters=3, chain=6):
+    """Median per-call time with forced completion (utils/benchlib.py)."""
+    return bench_op(make_call, x0, chain=chain, reps=iters)
+
+
+def tune_matmul(n=4096, quick=False):
+    A = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32)
+    grid = [(bm, bn, bk)
+            for bm in (128, 256, 512)
+            for bn in (128, 256, 512)
+            for bk in (256, 512, 1024)]
+    if quick:
+        grid = [(256, 256, 512), (512, 512, 512)]
+    best, best_t = None, float("inf")
+    for bm, bn, bk in grid:
+        try:
+            t = _bench_chain(
+                lambda x, bm=bm, bn=bn, bk=bk: pgemm.matmul_f32(
+                    x, x, alpha=1.0, beta=0.0, bm=bm, bn=bn, bk=bk), A)
+        except Exception as e:
+            log(f"  matmul {bm}x{bn}x{bk}: FAILED {str(e)[:80]}")
+            continue
+        tf = 2 * n ** 3 / t / 1e12
+        log(f"  matmul {bm}x{bn}x{bk}: {tf:.1f} TF/s")
+        if t < best_t:
+            best, best_t = {"bm": bm, "bn": bn, "bk": bk}, t
+    log(f"matmul best: {best} ({2 * n ** 3 / best_t / 1e12:.1f} TF/s)")
+    return best, 2 * n ** 3 / best_t / 1e12
+
+
+def tune_syrk(n=4096, quick=False):
+    A = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32)
+    grid = [(bn, bk) for bn in (128, 256, 512) for bk in (256, 512, 1024)]
+    if quick:
+        grid = [(256, 512), (512, 512)]
+    best, best_t = None, float("inf")
+    for bn, bk in grid:
+        try:
+            t = _bench_chain(
+                lambda x, bn=bn, bk=bk: psyrk.syrk_f32(
+                    x, x, alpha=-1.0, beta=1.0, bn=bn, bk=bk), A)
+        except Exception as e:
+            log(f"  syrk {bn}x{bk}: FAILED {str(e)[:80]}")
+            continue
+        tf = n ** 3 / t / 1e12   # useful flops (triangle)
+        log(f"  syrk {bn}x{bk}: {tf:.1f} TF/s useful")
+        if t < best_t:
+            best, best_t = {"bn": bn, "bk": bk}, t
+    log(f"syrk best: {best} ({n ** 3 / best_t / 1e12:.1f} TF/s useful)")
+    return best, n ** 3 / best_t / 1e12
+
+
+def tune_potrf_leaf(n=4096, quick=False):
+    from cholesky_tpu.rng import latmc
+    A = latmc(jax.random.PRNGKey(2), n, 50.0, jnp.float32)
+    best, best_t = None, float("inf")
+    for leaf in (128, 256) if not quick else (128, 256):
+        import functools
+        t = bench_op(lambda x, leaf=leaf: blocked.potrf(
+            "L", x, backend="pallas", block_size=leaf)[0], A, chain=4)
+        gf = (n ** 3 / 3) / t / 1e9
+        log(f"  potrf leaf={leaf}: {gf:.0f} GF/s")
+        if t < best_t:
+            best, best_t = {"leaf_nb": leaf}, t
+    log(f"potrf best: {best}")
+    return best, (n ** 3 / 3) / best_t / 1e9
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    kind = jax.devices()[0].device_kind
+    log(f"tuning on: {kind}")
+    table = {}
+    mm, mm_tf = tune_matmul(quick=args.quick)
+    table["matmul_f32"] = mm
+    sy, sy_tf = tune_syrk(quick=args.quick)
+    table["syrk_f32"] = sy
+    pf, pf_gf = tune_potrf_leaf(quick=args.quick)
+    table["potrf_f32"] = pf
+    table["_meta"] = {"device_kind": kind,
+                      "matmul_tflops": round(mm_tf, 2),
+                      "syrk_useful_tflops": round(sy_tf, 2),
+                      "potrf_gflops": round(pf_gf, 1)}
+
+    path = table_path(kind)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(table, f, indent=2, sort_keys=True)
+    log(f"wrote {path}")
+    print(json.dumps(table))
+
+
+if __name__ == "__main__":
+    main()

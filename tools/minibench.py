@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Machine-characterization probes (the reference's minibench/ layer).
+
+Standalone probes that inform the tuning-table expectations, mirroring the
+reference's minibench suite (SURVEY.md §1 L5):
+
+  mxu        ← flop-test.c (compute throughput: bf16 and f32-HIGHEST matmul)
+  hbm        ← bandwidth-test.c (device-memory streaming bandwidth)
+  dispatch   ← kernel-test.c (per-launch overhead — large on remote-attached
+               chips, which is why all timing uses in-jit chains)
+  flop_word  ← flop-word.c (achievable flop:byte ratio from the two above)
+  timer      ← timer.c / event.c (timing-facility sanity: measures a known
+               sleep; also detects the async-dispatch trap where
+               block_until_ready returns early)
+
+Run: python tools/minibench.py            (prints one JSON object)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_minibench_cache")
+
+from cholesky_tpu.utils.benchlib import bench_op
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def probe_mxu(n=4096):
+    A = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32)
+    B = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32)
+    t32 = bench_op(lambda x: jnp.matmul(x, B, precision=jax.lax.Precision.HIGHEST),
+                   A, chain=6)
+    Ab = A.astype(jnp.bfloat16)
+    Bb = B.astype(jnp.bfloat16)
+    tb = bench_op(lambda x: jnp.matmul(x, Bb), Ab, chain=6)
+    return {"f32_highest_tflops": round(2 * n ** 3 / t32 / 1e12, 1),
+            "bf16_tflops": round(2 * n ** 3 / tb / 1e12, 1)}
+
+
+def probe_hbm(mb=512):
+    n = int(mb * 1024 * 1024 // 4)
+    x = jax.random.normal(jax.random.PRNGKey(2), (n,), jnp.float32)
+    t = bench_op(lambda v: v * 1.0001 + 1.0, x, chain=8)
+    # one read + one write per element
+    return {"stream_gbps": round(2 * n * 4 / t / 1e9, 1)}
+
+
+def probe_dispatch():
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    float(jnp.sum(f(x)))
+    t0 = time.perf_counter()
+    k = 20
+    for _ in range(k):
+        y = f(x)
+        float(jnp.sum(y))     # force a full round-trip each call
+    per_call = (time.perf_counter() - t0) / k
+    return {"roundtrip_ms": round(per_call * 1e3, 3)}
+
+
+def probe_timer():
+    # does block_until_ready actually synchronize? (event.c analog)
+    n = 4096
+    A = jax.random.normal(jax.random.PRNGKey(3), (n, n), jnp.float32)
+    f = jax.jit(lambda x: jnp.matmul(x, x, precision=jax.lax.Precision.HIGHEST))
+    jax.block_until_ready(f(A))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(A + 1.0))
+    t_block = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jnp.sum(f(A + 2.0)))
+    t_fetch = time.perf_counter() - t0
+    return {"block_until_ready_ms": round(t_block * 1e3, 2),
+            "fetch_forced_ms": round(t_fetch * 1e3, 2),
+            "block_is_trustworthy": bool(t_block > 0.5 * t_fetch)}
+
+
+def main():
+    dev = jax.devices()[0]
+    out = {"device": str(dev), "kind": dev.device_kind}
+    log("probing mxu ...")
+    out["mxu"] = probe_mxu()
+    log("probing hbm ...")
+    out["hbm"] = probe_hbm()
+    log("probing dispatch ...")
+    out["dispatch"] = probe_dispatch()
+    log("probing timer semantics ...")
+    out["timer"] = probe_timer()
+    out["flop_word"] = round(
+        out["mxu"]["f32_highest_tflops"] * 1e3 / (out["hbm"]["stream_gbps"] / 4),
+        1)  # flops per f32 word
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
