@@ -115,7 +115,8 @@ def herk(uplo, trans, alpha, A, beta, C):
                       precision=config.matmul_precision)
     out = alpha * prod + beta * C
     if is_complex(C.dtype):
-        out = out - 1j * jnp.diag(jnp.diag(out).imag).astype(C.dtype)
+        dimag = jnp.diag(jnp.diag(out).imag)
+        out = out - lax.complex(jnp.zeros_like(dimag), dimag).astype(C.dtype)
     return _set_triangle(C, out, uplo).astype(C.dtype)
 
 

@@ -254,7 +254,8 @@ def lauu2(uplo, A):
         prod = jnp.matmul(L.conj().T, L, preferred_element_type=A.dtype,
                           precision=config.matmul_precision)
     if is_complex(A.dtype):
-        prod = prod - 1j * jnp.diag(jnp.diag(prod).imag).astype(A.dtype)
+        dimag = jnp.diag(jnp.diag(prod).imag)
+        prod = prod - lax.complex(jnp.zeros_like(dimag), dimag).astype(A.dtype)
     return blas._set_triangle(A, prod, uplo).astype(A.dtype)
 
 

@@ -82,7 +82,9 @@ def latmc(key, n, cond=2.0, dtype=jnp.float32, rank_correction: int = 2):
     if is_complex(dtype):
         vr = jax.random.normal(kv, (n, rank_correction), rdt)
         vi = jax.random.normal(kp, (n, rank_correction), rdt)
-        V = (vr + 1j * vi).astype(dtype)
+        # lax.complex keeps the target width — `vr + 1j*vi` would promote
+        # to complex128 under x64, which the TPU compiler rejects outright
+        V = jax.lax.complex(vr, vi).astype(dtype)
     else:
         V = jax.random.normal(kv, (n, rank_correction), rdt).astype(dtype)
     V = V / jnp.linalg.norm(V, axis=0, keepdims=True)
@@ -93,7 +95,8 @@ def latmc(key, n, cond=2.0, dtype=jnp.float32, rank_correction: int = 2):
     # Symmetrize against rounding so potrf sees an exactly Hermitian input.
     A = 0.5 * (A + A.conj().T)
     if is_complex(dtype):
-        A = A - 1j * jnp.diag(jnp.diag(A).imag).astype(dtype)
+        dimag = jnp.diag(jnp.diag(A).imag)
+        A = A - jax.lax.complex(jnp.zeros_like(dimag), dimag).astype(dtype)
     return A
 
 
