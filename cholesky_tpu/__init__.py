@@ -50,4 +50,16 @@ from cholesky_tpu.ops.api import (
     logdet_from_factor,
 )
 
+from cholesky_tpu.ops import typed as _typed
+from cholesky_tpu.ops.typed import *  # noqa: F401,F403 — s/d/c/z variants
+
+# Tracing the recursive blocked drivers stacks driver frames × JAX tracer
+# frames × (with x64) dtype-dispatch wrappers; the CPython default of 1000
+# is not enough for deep factorizations. Same remedy JAX suggests for deep
+# networks.
+import sys as _sys
+
+if _sys.getrecursionlimit() < 10000:
+    _sys.setrecursionlimit(10000)
+
 __version__ = "0.1.0"

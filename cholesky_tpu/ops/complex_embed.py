@@ -1,0 +1,258 @@
+"""Complex routines via the interleaved real embedding.
+
+The TPU compiler rejects complex128 outright and lowers complex64 matmuls
+to multiple real passes; the reference instead *hand-splits* complex into
+real/imag planes in shared memory (reference cgemm.cu:7-15 split-storage +
+cuCfmaf fusion). This module is the structural TPU analog, built on a
+classical identity:
+
+Embed each complex entry a+bi as the 2×2 real block [[a, -b], [b, a]]
+(interleaved layout). The map E is a *-algebra homomorphism:
+    E(X·Y) = E(X)·E(Y),  E(Xᴴ) = E(X)ᵀ,  E(X⁻¹) = E(X)⁻¹.
+For an HPD matrix A, E(A) is SPD, and because the diagonal of a complex
+Cholesky factor is real, E(L) is *lower triangular* — so
+
+    chol(E(A)) = E(chol(A))        (exactly, by uniqueness)
+
+and likewise trtri/lauum/potri/trsm commute with E. Complex drivers
+therefore reduce to the library's fast REAL drivers at size 2n:
+complex64 rides the f32 Pallas path, complex128 rides the f64 path —
+making z-routines runnable on a TPU that cannot even hold a c128 array
+(operands travel as (re, im) real pairs).
+
+Cost: a real 2n potrf is 8n³/3 real flops vs 4n³/3 for ideal complex —
+a 2× overhead, paid for MXU-native execution (same trade the reference
+makes by splitting: it spends extra shared-memory traffic to keep the
+FMA pipes busy).
+
+logdet: det(E(A)) = |det(A)|² = det(A)² for HPD ⇒ logdet(A) = ½·logdet(E(A)).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cholesky_tpu.types import Uplo, Diag, norm_diag, norm_uplo
+from cholesky_tpu.ops import blocked
+
+
+def embed(re, im):
+    """(n,m) real/imag planes → (2n,2m) interleaved real embedding."""
+    n, m = re.shape
+    blocks = jnp.stack([jnp.stack([re, -im], axis=-1),
+                        jnp.stack([im, re], axis=-1)], axis=-2)  # (n,m,2,2)
+    return blocks.transpose(0, 2, 1, 3).reshape(2 * n, 2 * m)
+
+
+def unembed(M) -> Tuple[jax.Array, jax.Array]:
+    """(2n,2m) interleaved embedding → (re, im) planes (reads the a / b
+    positions; exact inverse of :func:`embed` on embedded matrices)."""
+    n, m = M.shape[0] // 2, M.shape[1] // 2
+    B = M.reshape(n, 2, m, 2)
+    return B[:, 0, :, 0], B[:, 1, :, 0]
+
+
+def _split(A):
+    if isinstance(A, tuple):
+        return A
+    return A.real, A.imag
+
+
+def _merge(re, im, like):
+    if isinstance(like, tuple):
+        return re, im
+    return jax.lax.complex(re, im).astype(like.dtype)
+
+
+def potrf_split(uplo, A, backend: str = "auto",
+                block_size: Optional[int] = None):
+    """Complex Cholesky via the real embedding. ``A`` is a complex array or
+    an (re, im) pair of real arrays (the only TPU-viable form for c128);
+    the result matches the input form. Returns (factor, info); info indexes
+    the complex pivot (1-based)."""
+    uplo = norm_uplo(uplo)
+    re, im = _split(A)
+    if uplo == Uplo.UPPER:
+        # lower-canonicalize: conj transpose ⇒ (reᵀ, −imᵀ)
+        re, im = re.T, -im.T
+    M = embed(re, im)
+    F, info_e = blocked.potrf(Uplo.LOWER, M, backend=backend,
+                              block_size=block_size)
+    fr, fi = unembed(jnp.tril(F))
+    # embedded pivot 2k−1 or 2k ↦ complex pivot k
+    info = jnp.where(info_e > 0, (info_e + 1) // 2, 0).astype(jnp.int32)
+    if uplo == Uplo.UPPER:
+        fr, fi = fr.T, -fi.T
+    return _merge(fr, fi, A), info
+
+
+def _real_diag_form(re, im):
+    """Factor a complex lower-triangular L as U·L′ with U = diag(d/|d|)
+    unitary and L′ = diag-scaled L having a REAL positive diagonal —
+    E(L′) is then genuinely lower triangular (the raw embedding of a
+    complex-diagonal triangular matrix is NOT: the 2×2 diagonal blocks
+    carry −Im d above the diagonal, which the real drivers' tril would
+    destroy). Exact elementwise transform. Returns (re′, im′, ur, ui)
+    with u = conj(d)/|d| (so L′ rows = u ⊙ L rows; U⁻¹ = diag(u))."""
+    dr, di = jnp.diag(re), jnp.diag(im)
+    mag = jnp.sqrt(dr * dr + di * di)
+    safe = jnp.where(mag == 0, jnp.ones_like(mag), mag)
+    ur = jnp.where(mag == 0, jnp.ones_like(mag), dr / safe)
+    ui = jnp.where(mag == 0, jnp.zeros_like(mag), -di / safe)
+    rep = re * ur[:, None] - im * ui[:, None]
+    imp = re * ui[:, None] + im * ur[:, None]
+    return rep, imp, ur, ui
+
+
+def trtri_split(uplo, diag, A, backend: str = "auto",
+                block_size: Optional[int] = None):
+    """Complex triangular inverse via the embedding (E(X⁻¹) = E(X)⁻¹),
+    with the unitary-diagonal factorization making the embedding
+    triangular: L⁻¹ = L′⁻¹·diag(u)."""
+    uplo = norm_uplo(uplo)
+    diag = norm_diag(diag)
+    re, im = _split(A)
+    if uplo == Uplo.UPPER:
+        re, im = re.T, -im.T
+    if diag == Diag.UNIT:
+        rep, imp, ur, ui = re, im, None, None
+    else:
+        rep, imp, ur, ui = _real_diag_form(re, im)
+    M = embed(rep, imp)
+    W, info_e = blocked.trtri(Uplo.LOWER, diag, M, backend=backend,
+                              block_size=block_size)
+    wr, wi = unembed(jnp.tril(W))
+    if diag != Diag.UNIT:
+        # post-scale columns by u = conj(d)/|d|:
+        # W′ has diag 1/|d| ⇒ scaled diag = conj(d)/|d|² = 1/d ✓
+        wr, wi = wr * ur[None, :] - wi * ui[None, :], \
+            wr * ui[None, :] + wi * ur[None, :]
+    info = jnp.where(info_e > 0, (info_e + 1) // 2, 0).astype(jnp.int32)
+    if uplo == Uplo.UPPER:
+        wr, wi = wr.T, -wi.T
+    return _merge(wr, wi, A), info
+
+
+def lauum_split(uplo, A, backend: str = "auto",
+                block_size: Optional[int] = None):
+    """Complex Lᴴ·L / U·Uᴴ via the embedding. Uses LᴴL = L′ᴴL′ where
+    L′ = diag(conj(d)/|d|)·L has a real diagonal (unitary row scaling
+    cancels in the Hermitian product)."""
+    uplo = norm_uplo(uplo)
+    re, im = _split(A)
+    if uplo == Uplo.UPPER:
+        re, im = re.T, -im.T
+    rep, imp, _, _ = _real_diag_form(re, im)
+    M = embed(rep, imp)
+    R = blocked.lauum(Uplo.LOWER, M, backend=backend, block_size=block_size)
+    # result is Hermitian ⇒ embedded result symmetric; lower triangle valid
+    Rfull = jnp.tril(R) + jnp.tril(R, -1).T
+    rr, ri = unembed(Rfull)
+    if uplo == Uplo.UPPER:
+        rr, ri = rr.T, -ri.T
+    return _merge(rr, ri, A)
+
+
+def potri_split(uplo, A, backend: str = "auto",
+                block_size: Optional[int] = None):
+    W, info = trtri_split(uplo, Diag.NON_UNIT, A, backend=backend,
+                          block_size=block_size)
+    return lauum_split(uplo, W, backend=backend, block_size=block_size), info
+
+
+def logdet_split(uplo, A, backend: str = "auto",
+                 block_size: Optional[int] = None):
+    """Complex HPD log|det| via the embedding: ½·logdet(E(A))."""
+    uplo = norm_uplo(uplo)
+    re, im = _split(A)
+    if uplo == Uplo.UPPER:
+        re, im = re.T, -im.T
+    M = embed(re, im)
+    val, info_e = blocked.logdet(Uplo.LOWER, M, backend=backend,
+                                 block_size=block_size)
+    info = jnp.where(info_e > 0, (info_e + 1) // 2, 0).astype(jnp.int32)
+    return 0.5 * val, info
+
+
+def _trsm_lower_left(ar, ai, br, bi, trans, unit, backend, block_size):
+    """Solve op(L)·X = B for complex lower-triangular L given as planes,
+    via the real-diagonal factorization L = U·L′ (U = diag(d/|d|)):
+      N: X = L′⁻¹ (U⁻¹B)      — pre-scale rows by u = conj(d)/|d|
+      C: X = U (L′ᴴ)⁻¹ B      — post-scale rows by conj(u)
+      T: conj(L)ᴴ X = B       — embed conj, solve as 'C' of conj(L)
+    """
+    if trans == "T":
+        xr, xi = _trsm_lower_left(ar, -ai, br, bi, "C", unit,
+                                  backend, block_size)
+        return xr, xi
+    if unit:
+        rep, imp, ur, ui = ar, ai, None, None
+    else:
+        rep, imp, ur, ui = _real_diag_form(ar, ai)
+    if trans == "N" and not unit:
+        br, bi = br * ur[:, None] - bi * ui[:, None], \
+            br * ui[:, None] + bi * ur[:, None]
+    MA = embed(rep, imp)
+    MB = embed(br, bi)
+    X = blocked.trsm("L", "L", "N" if trans == "N" else "T",
+                     "U" if unit else "N", 1.0, MA, MB,
+                     backend=backend, block_size=block_size)
+    xr, xi = unembed(X)
+    if trans == "C" and not unit:
+        # post-scale rows by conj(u) = d/|d|
+        xr, xi = xr * ur[:, None] + xi * ui[:, None], \
+            xi * ur[:, None] - xr * ui[:, None]
+    return xr, xi
+
+
+def trsm_split(side, uplo, transa, diag, alpha, A, B, backend: str = "auto",
+               block_size: Optional[int] = None):
+    """Complex triangular solve via the embedding. ``A``/``B`` are complex
+    arrays or (re, im) pairs; ``alpha`` must be a real static scalar
+    (complex alpha: scale B yourself first). All side/uplo/trans/diag
+    combinations are canonicalized at the complex level (the raw embedding
+    of an upper-triangular complex matrix is not upper triangular, so
+    canonicalization must precede embedding)."""
+    from cholesky_tpu.types import Side, Trans, norm_side, norm_trans
+    side = norm_side(side)
+    uplo = norm_uplo(uplo)
+    transa = norm_trans(transa)
+    diag = norm_diag(diag)
+    ar, ai = _split(A)
+    br, bi = _split(B)
+    br, bi = float(alpha) * br, float(alpha) * bi
+    t = {Trans.NO_TRANS: "N", Trans.TRANS: "T", Trans.CONJ_TRANS: "C"}[transa]
+
+    # side=R → left solve on transposes: X·op(A) = B ⟺ op(A)ᵀXᵀ = Bᵀ
+    if side == Side.RIGHT:
+        flip = {"N": "T", "T": "N", "C": "CONJ"}[t]
+        if flip == "CONJ":
+            out = trsm_split(Side.LEFT, uplo, "N", diag, 1.0,
+                             (ar, ai), (br.T, -bi.T),
+                             backend=backend, block_size=block_size)
+            orr, oi = out if isinstance(out, tuple) else (out.real, out.imag)
+            return _merge(orr.T, -oi.T, B)
+        out = trsm_split(Side.LEFT, uplo, flip, diag, 1.0,
+                         (ar, ai), (br.T, bi.T),
+                         backend=backend, block_size=block_size)
+        orr, oi = out if isinstance(out, tuple) else (out.real, out.imag)
+        return _merge(orr.T, oi.T, B)
+
+    # uplo=U → lower via A′ = Aᴴ:  U = A′ᴴ
+    if uplo == Uplo.UPPER:
+        ar, ai = ar.T, -ai.T
+        t = {"N": "C",   # U·X = A′ᴴ·X ⇒ op C on A′
+             "T": "TU",  # Uᵀ·X = conj(A′)·X ⇒ conj-reduce below
+             "C": "N"}[t]
+        if t == "TU":
+            # conj(A′)·X = B ⟺ A′·conj(X) = conj(B)
+            xr, xi = _trsm_lower_left(ar, ai, br, -bi, "N",
+                                      diag == Diag.UNIT, backend, block_size)
+            return _merge(xr, -xi, B)
+
+    xr, xi = _trsm_lower_left(ar, ai, br, bi, t, diag == Diag.UNIT,
+                              backend, block_size)
+    return _merge(xr, xi, B)

@@ -70,6 +70,8 @@ def _potf2_kernel(a_ref, o_ref, info_ref, *, n):
     o_ref[:] = a_ref[:]
 
     def panel_body(jp, info):
+        # pin loop indices to int32: under x64 fori_loop carries int64 and
+        # Mosaic's convert-element-type lowering recurses forever on it
         base = jp * panel
         # Mosaic crashes on dynamic lane-dim slices (even 128-aligned), so
         # the panel is gathered/scattered with an exact 0/1 selector matmul:
@@ -102,7 +104,8 @@ def _potf2_kernel(a_ref, o_ref, info_ref, *, n):
             P = jnp.where(colsp > jj, P - upd, P)
             return P, info
 
-        P, info = lax.fori_loop(0, panel, col_body, (P, info))
+        P, info = lax.fori_loop(jnp.int32(0), jnp.int32(panel), col_body,
+                                (P, info))
         # scatter the panel back: (P·Sᵀ)[r, c] = P[r, c−base] inside the
         # panel's columns, 0 elsewhere
         PS = lax.dot_general(P, S, (((1,), (1,)), ((), ())),
@@ -121,9 +124,12 @@ def _potf2_kernel(a_ref, o_ref, info_ref, *, n):
         return info
 
     if n <= panel:
-        info = panel_body(0, jnp.int32(0))
+        info = panel_body(jnp.int32(0), jnp.int32(0))
     else:
-        info = lax.fori_loop(0, n // panel, panel_body, jnp.int32(0))
+        # int32 bounds keep the induction variable int32 — under x64 an
+        # int64 index reaches Mosaic's convert lowering, which recurses
+        info = lax.fori_loop(jnp.int32(0), jnp.int32(n // panel), panel_body,
+                             jnp.int32(0))
     # zero the strict upper triangle (driver contract)
     o_ref[:] = jnp.where(cols > rows, 0.0, o_ref[:])
     info_ref[0, 0] = info
@@ -149,44 +155,100 @@ def potf2_f32(A):
     return L, info[0, 0]
 
 
-def _trti2_kernel(a_ref, o_ref, info_ref, *, n, unit):
+def _trti2_unit_kernel(a_ref, o_ref, info_ref, *, n):
+    """Single-level descending column sweep for the unit-diagonal case
+    (rare path — the potrf/trtri fast paths use the non-unit panel kernel)."""
     rows, cols = _iota2(n)
     rcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    # keep only the (strict, if unit) lower triangle; junk above must not
-    # pollute the column sweeps
-    if unit:
-        o_ref[:] = jnp.where(cols < rows, a_ref[:], 0.0)
-    else:
-        o_ref[:] = jnp.where(cols <= rows, a_ref[:], 0.0)
+    o_ref[:] = jnp.where(cols < rows, a_ref[:], 0.0)
 
     def body(i, info):
         j = n - 1 - i
         O = o_ref[:]
         col = _col_of(O, cols, j)
         colm = jnp.where(rcol > j, col, 0.0)
-        if unit:
-            dinv = jnp.float32(1.0)
-        else:
+        # v = L₂₂⁻¹·x over the already-inverted trailing block (unit diag
+        # contributes x itself)
+        v = lax.dot_general(O, colm, _MATVEC,
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST) + colm
+        newcol = jnp.where(rcol > j, -v, 0.0)
+        o_ref[:] = jnp.where(cols == j, newcol, O)
+        return info
+
+    info = lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.int32(0))
+    # unit diagonal is implicit; LAPACK leaves diagonal entries untouched
+    o_ref[:] = jnp.where(rows == cols, a_ref[:], o_ref[:])
+    info_ref[0, 0] = info
+
+
+def _trti2_kernel(a_ref, o_ref, info_ref, *, n):
+    """Two-level in-VMEM lower triangular inverse (non-unit), descending
+    128-wide panels: per panel, ONE MXU op folds the already-inverted
+    trailing columns into all panel columns at once, and the in-panel
+    descending sweep handles only panel-local terms — the panel analog of
+    the reference's stpti2 packed kernel (strtri.cu:36-141)."""
+    panel = n if n < PANEL else PANEL
+    npanels = max(1, n // panel)
+    rows, cols = _iota2(n)
+    rcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    rowsp = lax.broadcasted_iota(jnp.int32, (n, panel), 0)
+    colsp = lax.broadcasted_iota(jnp.int32, (n, panel), 1)
+    o_ref[:] = jnp.where(cols <= rows, a_ref[:], 0.0)
+
+    def panel_body(ip, info):
+        base = (npanels - 1 - ip) * panel
+        S = (rowsp == colsp + base).astype(jnp.float32)
+        O = o_ref[:]
+        Cp = lax.dot_general(O, S, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)  # original L cols
+        # beyond-panel fold: T2[:, c] = Σ_{k>base+panel-1} W[:,k]·L[k, base+c]
+        Ok = jnp.where(cols > base + panel - 1, O, 0.0)
+        Cpm = jnp.where(rowsp > base + panel - 1, Cp, 0.0)
+        T2 = lax.dot_general(Ok, Cpm, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)  # (n, panel)
+
+        def col_body(ii, carry):
+            P, info = carry
+            jj = panel - 1 - ii
+            j = base + jj
+            col = jnp.sum(jnp.where(colsp == jj, Cp, 0.0), axis=1,
+                          keepdims=True)
             d = jnp.sum(jnp.where(rcol == j, col, 0.0))
             bad = d == 0.0
             info = jnp.where(bad & (info == 0), j + 1, info)
             dinv = 1.0 / jnp.where(bad, 1.0, d)
-        # v = L₂₂⁻¹·x over the already-inverted trailing block
-        v = lax.dot_general(O, colm, _MATVEC,
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-        if unit:
-            v = v + colm
-        newcol = jnp.where(rcol == j,
-                           jnp.float32(0.0) if unit else dinv,
-                           jnp.where(rcol > j, -dinv * v, 0.0))
-        o_ref[:] = jnp.where(cols == j, newcol, O)
+            colm = jnp.where(rcol > j, col, 0.0)
+            # in-panel row segment of colm as a (1, panel) row
+            colseg = jnp.sum(jnp.where(rowsp == colsp + base, colm, 0.0),
+                             axis=0, keepdims=True)
+            # (n,128)·(1,128)ᵀ as multiply+lane-reduce — Mosaic rejects the
+            # dot_general form ("only constant accumulators supported")
+            v = jnp.sum(P * colseg, axis=1, keepdims=True)
+            v = v + jnp.sum(jnp.where(colsp == jj, T2, 0.0), axis=1,
+                            keepdims=True)
+            newcol = jnp.where(rcol == j, dinv,
+                               jnp.where(rcol > j, -dinv * v, 0.0))
+            P = jnp.where(colsp == jj, newcol, P)
+            return P, info
+
+        P0 = jnp.zeros((n, panel), jnp.float32)
+        P, info = lax.fori_loop(jnp.int32(0), jnp.int32(panel), col_body,
+                                (P0, info))
+        PS = lax.dot_general(P, S, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)
+        in_panel = (cols >= base) & (cols < base + panel)
+        o_ref[:] = jnp.where(in_panel, PS, o_ref[:])
         return info
 
-    info = lax.fori_loop(0, n, body, jnp.int32(0))
-    if unit:
-        # unit diagonal is implicit; LAPACK leaves diagonal entries untouched
-        o_ref[:] = jnp.where(rows == cols, a_ref[:], o_ref[:])
+    if npanels == 1:
+        info = panel_body(jnp.int32(0), jnp.int32(0))
+    else:
+        info = lax.fori_loop(jnp.int32(0), jnp.int32(npanels), panel_body,
+                             jnp.int32(0))
     info_ref[0, 0] = info
 
 
@@ -197,8 +259,12 @@ def trti2_f32(A, *, unit: bool = False):
     diagonal entries pass through untouched (LAPACK xtrti2 contract)."""
     n = A.shape[0]
     assert A.shape == (n, n) and A.dtype == jnp.float32
+    assert n <= PANEL or n % PANEL == 0, \
+        f"trti2_f32 leaf size {n} must be <= {PANEL} or a multiple of it"
+    kernel = functools.partial(_trti2_unit_kernel, n=n) if unit \
+        else functools.partial(_trti2_kernel, n=n)
     T, info = pl.pallas_call(
-        functools.partial(_trti2_kernel, n=n, unit=unit),
+        kernel,
         out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
