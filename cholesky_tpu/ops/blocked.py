@@ -135,17 +135,47 @@ class _PallasTiles:
         return _pl.lauu2_f32(A)
 
 
+class _OzakiTiles(_XlaTiles):
+    """f64 tiles with matmuls on the int8 MXU via the Ozaki scheme
+    (ops/ozaki.py) — the fast path for the d precision on TPU, where
+    XLA's software f64 matmul runs at single-digit GF/s. Leaf sweeps and
+    elementwise work stay in (emulated) f64: they are O(n²·nb), not the
+    bottleneck. slices=6 gives ~2^-42 products, far inside the ≤1e-6
+    backward-error target (BASELINE.md)."""
+    default_nb = 128
+    slices = 6
+
+    def __init__(self, slices: int = 6):
+        super().__init__(jnp.float64)
+        self.slices = slices
+
+    def mm(self, A, B, *, ta="N", tb="N", alpha=1.0, beta=0.0, C=None):
+        from cholesky_tpu.ops.ozaki import matmul_f64
+        A = self._op(A, ta)
+        B = self._op(B, tb)
+        out = alpha * matmul_f64(A, B, slices=self.slices)
+        if C is not None and beta != 0.0:
+            out = out + beta * C
+        return out
+
+
 def _tiles_for(dtype, backend: str):
     dtype = jnp.dtype(dtype)
     if backend == "pallas":
         check(dtype == jnp.dtype(jnp.float32), "blocked", 0,
               f"pallas backend supports float32 only, got {dtype}")
         return _PallasTiles()
+    if backend == "ozaki":
+        check(dtype == jnp.dtype(jnp.float64), "blocked", 0,
+              f"ozaki backend supports float64 only, got {dtype}")
+        return _OzakiTiles()
     if backend == "xla":
         return _XlaTiles(dtype)
     # auto
     if dtype == jnp.dtype(jnp.float32):
         return _PallasTiles()
+    if dtype == jnp.dtype(jnp.float64) and config.on_tpu():
+        return _OzakiTiles()
     return _XlaTiles(dtype)
 
 
