@@ -37,7 +37,6 @@ from cholesky_tpu import config
 
 LEAF_N = 128  # default diagonal-block size (the reference's nb=64 analog)
 
-_OUTER = (((1,), (1,)), ((), ()))   # (n,1)·(n,1) → (n,n) outer product
 _MATVEC = (((1,), (0,)), ((), ()))  # (n,n)·(n,1) → (n,1)
 
 
