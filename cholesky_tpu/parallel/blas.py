@@ -1,0 +1,132 @@
+"""Distributed Level-3 BLAS over a mesh axis (the cuMultiGPU BLAS tier).
+
+Rebuild of the reference's multi-GPU BLAS (reference cuMultiGPUSgemm
+blas/sgemm.c:432-566, cuMultiGPUSsyrk ssyrk.c:214+, cuMultiGPUStrmm): there,
+the output matrix is tiled and each tile becomes a task closure round-
+robined over per-GPU worker threads, with operand panels streamed over PCIe
+(background_sgemm sgemm.c:211-430). Here the output is ROW-SHARDED over the
+mesh axis and each device computes its stripe in one SPMD program:
+
+  gemm_dist   C rows sharded, op(A) rows sharded to match, op(B)
+              replicated → pure-local GEMM, zero collectives (the
+              reference streams k-panels instead; HBM-resident operands
+              make that machinery unnecessary, SURVEY.md §2.5)
+  syrk_dist   A rows sharded; ONE all_gather supplies the transposed
+              operand; triangle-only stores preserved per stripe
+  trmm_dist   triangular operand replicated (it is read-only and
+              triangular — the reference also broadcasts it per task)
+
+These favor simplicity over peak scaling: the output-stripe decomposition
+is exactly the reference's strategy (§2.4 "multi-GPU data parallel over
+output tiles").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cholesky_tpu import config
+from cholesky_tpu.ops import blas_ref
+from cholesky_tpu.types import norm_side, norm_trans, norm_uplo, Side, Uplo
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _pad_rows(X, rows):
+    return X if X.shape[0] == rows else jnp.pad(
+        X, ((0, rows - X.shape[0]), (0, 0)))
+
+
+def gemm_dist(transa, transb, alpha, A, B, beta, C, mesh: Mesh,
+              axis: str = "d"):
+    """C := alpha·op(A)·op(B) + beta·C with C row-sharded over the axis."""
+    oA = blas_ref.op(A, transa)
+    oB = blas_ref.op(B, transb)
+    m = oA.shape[0]
+    p = mesh.shape[axis]
+    mp = _round_up(m, p)
+    oAp, Cp = _pad_rows(oA, mp), _pad_rows(C, mp)
+
+    def body(a_loc, b_full, c_loc):
+        out = jnp.matmul(a_loc, b_full, precision=config.matmul_precision)
+        return (alpha * out + beta * c_loc).astype(c_loc.dtype)
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(axis, None), P(), P(axis, None)),
+                       out_specs=P(axis, None))
+    return fn(oAp, oB, Cp)[:m]
+
+
+def syrk_dist(uplo, trans, alpha, A, beta, C, mesh: Mesh, axis: str = "d"):
+    """Triangle-only C := alpha·A·Aᵀ + beta·C, C row-sharded; one
+    all_gather supplies the transposed operand."""
+    uplo = norm_uplo(uplo)
+    X = blas_ref.op(A, trans)            # (n, k)
+    n = X.shape[0]
+    p = mesh.shape[axis]
+    npd = _round_up(n, p)
+    Xp, Cp = _pad_rows(X, npd), _pad_rows(C, npd)
+    rows_per = npd // p
+
+    def body(x_loc, c_loc):
+        me = lax.axis_index(axis)
+        x_full = lax.all_gather(x_loc, axis).reshape(npd, X.shape[1])
+        prod = jnp.matmul(x_loc, x_full.T, precision=config.matmul_precision)
+        out = alpha * prod + beta * c_loc
+        gr = me * rows_per + lax.broadcasted_iota(jnp.int32,
+                                                  (rows_per, npd), 0)
+        gc = lax.broadcasted_iota(jnp.int32, (rows_per, npd), 1)
+        keep = gc <= gr if uplo == Uplo.LOWER else gc >= gr
+        return jnp.where(keep, out, c_loc).astype(c_loc.dtype)
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(axis, None), P(axis, None)),
+                       out_specs=P(axis, None))
+    return fn(Xp, Cp)[:n, :n] if npd != n else fn(Xp, Cp)
+
+
+def trmm_dist(side, uplo, transa, diag, alpha, A, B, mesh: Mesh,
+              axis: str = "d"):
+    """B := alpha·op(tri(A))·B (left, B column stripe sharded by rows of
+    the output) or alpha·B·op(tri(A)) (right, B row-sharded); the
+    triangular operand is replicated."""
+    side = norm_side(side)
+    T = blas_ref.op(blas_ref._tri(A, uplo, diag), transa)
+    if side == Side.LEFT:
+        # out rows sharded ⇒ shard op(T) rows, replicate B
+        m = T.shape[0]
+        p = mesh.shape[axis]
+        mp = _round_up(m, p)
+        Tp = _pad_rows(T, mp)
+
+        def body(t_loc, b_full):
+            return (alpha * jnp.matmul(t_loc, b_full,
+                                       precision=config.matmul_precision)
+                    ).astype(b_full.dtype)
+
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(P(axis, None), P()),
+                           out_specs=P(axis, None))
+        return fn(Tp, B)[:m]
+    # right side: B rows sharded, T replicated
+    m = B.shape[0]
+    p = mesh.shape[axis]
+    mp = _round_up(m, p)
+    Bp = _pad_rows(B, mp)
+
+    def body(b_loc, t_full):
+        return (alpha * jnp.matmul(b_loc, t_full,
+                                   precision=config.matmul_precision)
+                ).astype(b_loc.dtype)
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(axis, None), P()),
+                       out_specs=P(axis, None))
+    return fn(Bp, T)[:m]

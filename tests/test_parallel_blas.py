@@ -1,0 +1,81 @@
+"""Distributed BLAS tier (reference cumultigpu{gemm,syrk,trmm} tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cholesky_tpu.parallel import blas as dblas
+from cholesky_tpu.rng import generators
+from tests.util import assert_close, to_np128
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()), ("d",))
+
+
+def rnd(seed, shape):
+    return (jax.random.uniform(jax.random.PRNGKey(seed), shape, jnp.float64)
+            - 0.5).astype(jnp.float32)
+
+
+@pytest.mark.parametrize("ta,tb", [("N", "N"), ("T", "N"), ("N", "T")])
+@pytest.mark.parametrize("m", [256, 200])   # 200: row-padding path
+def test_gemm_dist(mesh, ta, tb, m):
+    k, n = 96, 80
+    A = rnd(0, (m, k) if ta == "N" else (k, m))
+    B = rnd(1, (k, n) if tb == "N" else (n, k))
+    C = rnd(2, (m, n))
+    out = dblas.gemm_dist(ta, tb, 0.9, A, B, -0.3, C, mesh)
+    An, Bn = to_np128(A), to_np128(B)
+    An = An if ta == "N" else An.T
+    Bn = Bn if tb == "N" else Bn.T
+    ref = 0.9 * An @ Bn - 0.3 * to_np128(C)
+    assert_close(out, ref, jnp.float32, 2 * k + 3, f"gemm_dist {ta}{tb}")
+
+
+def test_gemm_dist_output_sharded(mesh):
+    A, B, C = rnd(3, (256, 64)), rnd(4, (64, 64)), rnd(5, (256, 64))
+    out = dblas.gemm_dist("N", "N", 1.0, A, B, 0.0, C, mesh)
+    # output stripes live one-per-device (the reference's output tiling)
+    assert len(out.addressable_shards) == len(jax.devices())
+    assert out.addressable_shards[0].data.shape[0] == 256 // len(jax.devices())
+
+
+@pytest.mark.parametrize("uplo", ["L", "U"])
+@pytest.mark.parametrize("trans", ["N", "T"])
+def test_syrk_dist(mesh, uplo, trans):
+    n, k = 200, 96
+    A = rnd(6, (n, k) if trans == "N" else (k, n))
+    C = rnd(7, (n, n))
+    out = dblas.syrk_dist(uplo, trans, -1.0, A, 1.0, C, mesh)
+    An = to_np128(A)
+    An = An if trans == "N" else An.T
+    full = -An @ An.T + to_np128(C)
+    mask = np.tril(np.ones((n, n))) if uplo == "L" else np.triu(np.ones((n, n)))
+    ref = np.where(mask > 0, full, to_np128(C))
+    assert_close(out, ref, jnp.float32, 2 * k + 3, f"syrk_dist {uplo}{trans}")
+    # untouched triangle preserved
+    anti = np.triu(np.asarray(out), 1) if uplo == "L" else np.tril(np.asarray(out), -1)
+    anti_c = np.triu(np.asarray(C), 1) if uplo == "L" else np.tril(np.asarray(C), -1)
+    np.testing.assert_array_equal(anti, anti_c)
+
+
+@pytest.mark.parametrize("side", ["L", "R"])
+@pytest.mark.parametrize("uplo", ["L", "U"])
+@pytest.mark.parametrize("trans", ["N", "T"])
+def test_trmm_dist(mesh, side, uplo, trans):
+    m, n = 200, 96
+    na = m if side == "L" else n
+    A = generators.random_triangular(jax.random.PRNGKey(8), na, uplo, "N",
+                                     jnp.float32)
+    B = rnd(9, (m, n))
+    out = dblas.trmm_dist(side, uplo, trans, "N", 1.3, A, B, mesh)
+    T = to_np128(A)
+    T = np.tril(T) if uplo == "L" else np.triu(T)
+    T = T if trans == "N" else T.T
+    ref = 1.3 * (T @ to_np128(B) if side == "L" else to_np128(B) @ T)
+    assert_close(out, ref, jnp.float32, 2 * na + 3,
+                 f"trmm_dist {side}{uplo}{trans}")
