@@ -138,10 +138,20 @@ class _PallasTiles:
 class _OzakiTiles(_XlaTiles):
     """f64 tiles with matmuls on the int8 MXU via the Ozaki scheme
     (ops/ozaki.py) — the fast path for the d precision on TPU, where
-    XLA's software f64 matmul runs at single-digit GF/s. Leaf sweeps and
-    elementwise work stay in (emulated) f64: they are O(n²·nb), not the
-    bottleneck. slices=6 gives ~2^-42 products, far inside the ≤1e-6
-    backward-error target (BASELINE.md)."""
+    XLA's software f64 matmul runs at single-digit GF/s.
+
+    Leaves avoid O(nb³) emulated-f64 sweeps by refinement: the diagonal
+    block is factored/inverted by the fast f32 Pallas kernels and promoted
+    with ONE correction step built from Ozaki matmuls, squaring the f32
+    error (~2^-24 → ~2^-48):
+      potf2:  L = Lₕ + Lₕ·Φ(Lₕ⁻¹ R Lₕ⁻ᵀ),  R = A − LₕLₕᵀ,
+              Φ = strict-lower + ½·diag  (the standard Cholesky
+              differential/refinement identity)
+      trti2:  one Newton step  W₁ = W₀(2I − L·W₀)
+    Only O(nb²) elementwise work remains in emulated f64. slices=6 gives
+    ~2^-42 products, far inside the ≤1e-6 backward-error target
+    (BASELINE.md); non-PD/singularity detection happens at f32 precision.
+    """
     default_nb = 128
     slices = 6
 
@@ -157,6 +167,51 @@ class _OzakiTiles(_XlaTiles):
         if C is not None and beta != 0.0:
             out = out + beta * C
         return out
+
+    def potf2(self, A):
+        from cholesky_tpu.ops.ozaki import matmul_f64
+        n = A.shape[0]
+        A32 = A.astype(jnp.float32)
+        Lh32, info = _pl.potf2_f32(A32)
+        Lh = Lh32.astype(A.dtype)
+        # R must be the full SYMMETRIC residual (G = Lₕ⁻¹RLₕ⁻ᵀ uses both
+        # triangles); only the lower triangle of A is valid storage
+        Afull = jnp.tril(A) + jnp.tril(A, -1).T
+        R = Afull - matmul_f64(Lh, Lh.T, slices=self.slices)
+        # G = Lₕ⁻¹ R Lₕ⁻ᵀ in f32 (R is already O(2^-24·‖A‖); first order)
+        R32 = R.astype(jnp.float32)
+        G32 = lax.linalg.triangular_solve(Lh32, R32, left_side=True,
+                                          lower=True)
+        G32 = lax.linalg.triangular_solve(Lh32, G32.T, left_side=True,
+                                          lower=True).T
+        Phi = jnp.tril(G32, -1) + 0.5 * jnp.diag(jnp.diag(G32))
+        E = jnp.matmul(Lh32, Phi, precision=config.matmul_precision)
+        return jnp.tril(Lh + E.astype(A.dtype)), info
+
+    def trti2(self, A, *, unit=False):
+        from cholesky_tpu.ops.ozaki import matmul_f64
+        n = A.shape[0]
+        A32 = A.astype(jnp.float32)
+        W32, info = _pl.trti2_f32(A32, unit=unit)
+        if unit:
+            W32 = jnp.tril(W32, -1) + jnp.eye(n, dtype=jnp.float32)
+        W0 = W32.astype(A.dtype)
+        L = jnp.tril(A, -1) + (jnp.eye(n, dtype=A.dtype) if unit
+                               else jnp.diag(jnp.diag(A)))
+        # Newton: W₁ = W₀(2I − L·W₀) — squares the f32 inversion error
+        T = matmul_f64(L, W0, slices=self.slices)
+        D = 2.0 * jnp.eye(n, dtype=A.dtype) - T
+        W1 = jnp.tril(matmul_f64(W0, D, slices=self.slices))
+        if unit:
+            # LAPACK contract: unit diagonal entries pass through untouched
+            W1 = jnp.tril(W1, -1) + jnp.diag(jnp.diag(A))
+        return W1, info
+
+    def lauu2(self, A):
+        from cholesky_tpu.ops.ozaki import matmul_f64
+        L = jnp.tril(A)
+        P = matmul_f64(L.T, L, slices=self.slices)
+        return jnp.tril(P) + jnp.triu(A, 1)
 
 
 def _tiles_for(dtype, backend: str):
