@@ -137,3 +137,23 @@ def test_trsm_split_all_combos(side, uplo, trans, diag):
         ref = np.linalg.solve(T.T, 0.9 * to_np128(B).T).T
     assert_close(np.asarray(X), ref, dtype, 150 * na,
                  f"trsm_split {side}{uplo}{trans}{diag}")
+
+
+def test_potrf_split_ozaki_backend():
+    # z-tier synthesis: complex128 → real embedding → f64 → Ozaki int8 MXU
+    A = hpd(jnp.complex128, seed=12, cond=30.0)
+    (fr, fi), info = ce.potrf_split("L", (A.real, A.imag), backend="ozaki",
+                                    block_size=64)
+    assert int(info) == 0
+    ref = np.linalg.cholesky(np.asarray(A))
+    got = np.tril(np.asarray(fr) + 1j * np.asarray(fi))
+    assert np.max(np.abs(got - np.tril(ref))) < 1e-8
+
+
+def test_potri_split_ozaki_backend():
+    A = hpd(jnp.complex128, seed=13, cond=20.0)
+    F, _ = ce.potrf_split("L", A, backend="ozaki", block_size=64)
+    Inv, info = ce.potri_split("L", F, backend="ozaki", block_size=64)
+    assert int(info) == 0
+    ref = np.linalg.inv(np.asarray(A))
+    assert np.max(np.abs(np.tril(np.asarray(Inv)) - np.tril(ref))) < 1e-6
