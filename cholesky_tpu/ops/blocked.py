@@ -477,11 +477,27 @@ def _static_scalar(x) -> bool:
     return isinstance(x, (int, float)) and not isinstance(x, bool)
 
 
+def _fast_tiles_or_none(dtype, backend: str):
+    """Fast tile backend for the BLAS wrappers, or None to use blas_ref:
+    f32 → Pallas; f64 → Ozaki (explicit, or 'auto' on TPU); complex → ref
+    (native XLA complex measured faster than the embedding at these sizes).
+    """
+    dtype = jnp.dtype(dtype)
+    if backend in ("auto", "pallas") and dtype == jnp.dtype(jnp.float32):
+        return _PallasTiles()
+    if dtype == jnp.dtype(jnp.float64) and (
+            backend == "ozaki" or (backend == "auto" and config.on_tpu())):
+        return _OzakiTiles()
+    if backend == "xla" and not is_complex(dtype):
+        return _XlaTiles(dtype)
+    return None
+
+
 def gemm(transa, transb, alpha, A, B, beta, C, backend: str = "auto"):
     transa, transb = norm_trans(transa), norm_trans(transb)
-    if (backend in ("auto", "pallas") and A.dtype == jnp.float32
-            and _static_scalar(alpha) and _static_scalar(beta)):
-        t = _PallasTiles()
+    t = _fast_tiles_or_none(A.dtype, backend) \
+        if _static_scalar(alpha) and _static_scalar(beta) else None
+    if t is not None:
         oA = blas_ref.op(A, transa)
         oB = blas_ref.op(B, transb)
         check(oA.shape[1] == oB.shape[0], "gemm", 5, "inner dims")
@@ -540,11 +556,10 @@ def trsm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto",
     uplo = norm_uplo(uplo)
     transa = norm_trans(transa)
     diag = norm_diag(diag)
-    if not (backend in ("auto", "pallas") and A.dtype == jnp.float32
-            and _static_scalar(alpha)):
+    t = _fast_tiles_or_none(A.dtype, backend) if _static_scalar(alpha) \
+        else None
+    if t is None:
         return blas_ref.trsm(side, uplo, transa, diag, alpha, A, B)
-
-    t = _PallasTiles()
     nb = block_size or t.default_nb
     unit = diag == Diag.UNIT
     # canonicalize: side=R → transposed left solve; upper → lower on Aᵀ

@@ -84,3 +84,24 @@ def test_dtrtri_ozaki():
     rel = np.max(np.abs(np.tril(np.asarray(W)) - np.tril(ref))) / \
         np.max(np.abs(ref))
     assert rel < 1e-8, rel
+
+
+def test_dtrsm_ozaki_backend():
+    # f64 trsm routes through the recursive driver with Ozaki tiles
+    L = generators.random_triangular(jax.random.PRNGKey(5), 200, "L", "N",
+                                     jnp.float64)
+    B = jnp.asarray(np.random.RandomState(6).randn(200, 16))
+    X = blocked.trsm("L", "L", "N", "N", 1.0, L, B, backend="ozaki",
+                     block_size=64)
+    ref = np.linalg.solve(np.tril(np.asarray(L)), np.asarray(B))
+    scaled = np.max(np.abs(np.asarray(X) - ref)) / np.max(np.abs(ref))
+    assert scaled < 1e-8, scaled
+
+
+def test_dgemm_ozaki_backend():
+    A = jnp.asarray(np.random.RandomState(7).randn(100, 80))
+    B = jnp.asarray(np.random.RandomState(8).randn(80, 60))
+    C = jnp.asarray(np.random.RandomState(9).randn(100, 60))
+    out = blocked.gemm("N", "N", 0.5, A, B, -1.0, C, backend="ozaki")
+    ref = 0.5 * np.asarray(A) @ np.asarray(B) - np.asarray(C)
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-9
