@@ -46,13 +46,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _force(out):
+    """Force real completion: block_until_ready alone can return before
+    remote execution finishes on this runtime (see utils/benchlib.py)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf).real)
+    return out
+
+
 def _time(f, *args, iters=10):
-    out = f(*args)
-    jax.block_until_ready(out)
+    out = _force(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters, out
 
 
@@ -92,9 +99,17 @@ def point_potri(n, backend):
     return dt, 2 * n ** 3 / 3, oracle, 3000 * n, int(info)
 
 
+def _chol_factor(n):
+    """Well-conditioned lower-triangular fixture: the Cholesky factor of a
+    latmc SPD matrix (cond ~ sqrt(100)). Raw random triangular matrices
+    have cond ~ 2^n — at n=4096 even the f64 numpy oracle overflows."""
+    A = latmc(jax.random.PRNGKey(n), n, 100.0, jnp.float32)
+    F, _ = blocked.potrf("L", A, backend="xla" if n <= 512 else "pallas")
+    return jnp.tril(F)
+
+
 def point_trtri(n, backend):
-    A = generators.random_triangular(jax.random.PRNGKey(n), n, "L", "N",
-                                     jnp.float32)
+    A = _chol_factor(n)
     f = jax.jit(functools.partial(blocked.trtri, "L", "N", backend=backend))
     dt, (R, info) = _time(f, A)
     Rnp = np.tril(np.asarray(R, np.float64))
@@ -108,8 +123,7 @@ def point_trtri(n, backend):
 
 
 def point_lauum(n, backend):
-    A = generators.random_triangular(jax.random.PRNGKey(n), n, "L", "N",
-                                     jnp.float32)
+    A = _chol_factor(n)
     f = jax.jit(functools.partial(blocked.lauum, "L", backend=backend))
     dt, R = _time(f, A)
     Rnp = np.tril(np.asarray(R, np.float64))
@@ -141,11 +155,9 @@ def point_gemm(n, backend):
     A = (jax.random.uniform(k1, (n, n)) - 0.5).astype(jnp.float32)
     B = (jax.random.uniform(k2, (n, n)) - 0.5).astype(jnp.float32)
     C = (jax.random.uniform(k3, (n, n)) - 0.5).astype(jnp.float32)
-    f = jax.jit(functools.partial(blocked.gemm, "N", "N", 1.0, beta=-1.0,
-                                  backend=backend))
-    dt, D = _time(f, A, B, C=C) if False else _time(
-        jax.jit(lambda a, b, c: blocked.gemm("N", "N", 1.0, a, b, -1.0, c,
-                                             backend=backend)), A, B, C)
+    f = jax.jit(lambda a, b, c: blocked.gemm("N", "N", 1.0, a, b, -1.0, c,
+                                             backend=backend))
+    dt, D = _time(f, A, B, C)
     Dnp = np.asarray(D, np.float64)
     An, Bn, Cn = (np.asarray(x, np.float64) for x in (A, B, C))
 
@@ -174,8 +186,7 @@ def point_syrk(n, backend):
 
 
 def point_trsm(n, backend):
-    A = generators.random_triangular(jax.random.PRNGKey(n), n, "L", "N",
-                                     jnp.float32)
+    A = _chol_factor(n)
     B = (jax.random.uniform(jax.random.PRNGKey(n + 1), (n, n)) - 0.5) \
         .astype(jnp.float32)
     f = jax.jit(lambda a, b: blocked.trsm("L", "L", "N", "N", 1.0, a, b,
