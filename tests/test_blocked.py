@@ -189,3 +189,27 @@ def test_syrk_blocked_pallas(uplo, trans):
     anti = np.triu(np.asarray(out), 1) if uplo == "L" else np.tril(np.asarray(out), -1)
     anti_c = np.triu(np.asarray(C), 1) if uplo == "L" else np.tril(np.asarray(C), -1)
     np.testing.assert_array_equal(anti, anti_c)
+
+
+@pytest.mark.parametrize("uplo", ["L", "U"])
+def test_potrf_inverse_method(uplo):
+    # invert-as-you-go variant (reference inverse trick taken to its limit)
+    A = spd(N, jnp.float32, seed=11)
+    F, info = blocked.potrf(uplo, A, backend="pallas", block_size=NB,
+                            method="inverse")
+    assert int(info) == 0
+    L = np.linalg.cholesky(to_np128(A))
+    ref = L if uplo == "L" else L.conj().T
+    tri = np.tril if uplo == "L" else np.triu
+    assert_close(tri(np.asarray(F)), tri(ref), jnp.float32, 16 * N,
+                 f"potrf inverse {uplo}")
+
+
+def test_potrf_inverse_method_nonpd_info():
+    A = np.asarray(spd(N, jnp.float32, seed=12)).copy()
+    A[99, 99] = -2.0
+    A = jnp.asarray(0.5 * (A + A.T))
+    F, info = blocked.potrf("L", A, backend="pallas", block_size=NB,
+                            method="inverse")
+    assert 1 <= int(info) <= 100
+    assert np.isfinite(np.asarray(F)).all()
