@@ -58,7 +58,9 @@ def potf2(uplo, A):
         rowm = jnp.where(maskj, row, jnp.zeros((), A.dtype))
         diag_j = jnp.sum(jnp.where(idx == j, row, 0)).real.astype(rdt)
         ajj = diag_j - jnp.sum((rowm * rowm.conj()).real).astype(rdt)
-        bad = ajj <= 0
+        # NaN-safe: ~(ajj > 0) is True for NaN pivots too (the reference
+        # spotf2 checks `aii <= zero || isnan(aii)`, lapack/spotrf.c:47-51)
+        bad = ~(ajj > 0)
         info = jnp.where(bad & (info == 0), j + 1, info).astype(jnp.int32)
         d = jnp.sqrt(jnp.where(bad, jnp.ones((), rdt), ajj))
         col = lax.dynamic_slice(A, (0, j), (n, 1))[:, 0]
@@ -76,7 +78,7 @@ def potf2(uplo, A):
         colm = jnp.where(maskj, col, jnp.zeros((), A.dtype))
         diag_j = jnp.sum(jnp.where(idx == j, col, 0)).real.astype(rdt)
         ajj = diag_j - jnp.sum((colm * colm.conj()).real).astype(rdt)
-        bad = ajj <= 0
+        bad = ~(ajj > 0)    # NaN-safe (see body_lower)
         info = jnp.where(bad & (info == 0), j + 1, info).astype(jnp.int32)
         d = jnp.sqrt(jnp.where(bad, jnp.ones((), rdt), ajj))
         row = lax.dynamic_slice(A, (j, 0), (1, n))[0]

@@ -37,8 +37,10 @@ from jax import lax
 
 SLICE_BITS = 7
 _RADIX = float(1 << SLICE_BITS)              # 128.0
-# int32 overflow guard: K · 64² · S ≤ 2³¹  (group-summed pairs)
-K_EXACT_MAX = 2 ** 31 // (64 * 64 * 8)
+# int32 overflow guard: K · 65² · S ≤ 2³¹ for group-summed pairs (|q| can
+# reach 65: values just above 64 before the f32 round). Beyond this the K
+# axis is split into exact chunks and the chunk products are summed in f64.
+K_EXACT_MAX = 2 ** 31 // (65 * 65 * 8)       # = 63550
 
 
 def _split_rows(A, slices: int):
@@ -88,13 +90,26 @@ def _matmul_int8(a, b):
 @functools.partial(jax.jit, static_argnames=("slices",))
 def matmul_f64(A, B, *, slices: int = 4):
     """C ≈ A·B for f64 operands via exact int8-slice matmuls.
-    Elementwise error ≲ K·2^{−7·slices}·rowscale(A)ᵢ·colscale(B)ⱼ."""
+    Elementwise error ≲ K·2^{−7·slices}·rowscale(A)ᵢ·colscale(B)ⱼ.
+
+    For K beyond the int32-exact bound the contraction axis is split into
+    exact chunks whose partial products are summed in f64 — each chunk
+    keeps the no-overflow invariant (and gets its own row/column scales,
+    which only tightens the error bound)."""
     assert A.dtype == jnp.float64 and B.dtype == jnp.float64, \
         (A.dtype, B.dtype)
     m, k = A.shape
     k2, n = B.shape
     assert k == k2
-    assert k <= K_EXACT_MAX, f"K={k} beyond int32-exact range {K_EXACT_MAX}"
+    if k > K_EXACT_MAX:
+        nchunks = -(-k // K_EXACT_MAX)
+        step = -(-k // nchunks)
+        acc = jnp.zeros((m, n), A.dtype)
+        for c in range(0, k, step):
+            w = min(step, k - c)
+            acc = acc + matmul_f64(A[:, c:c + w], B[c:c + w, :],
+                                   slices=slices)
+        return acc
 
     As, ascale = _split_rows(A, slices)                  # (S, m, k), (m,)
     Bs, bscale = _split_rows(B.T, slices)                # (S, n, k), (n,)

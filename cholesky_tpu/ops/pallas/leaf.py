@@ -87,7 +87,8 @@ def _potf2_kernel(a_ref, o_ref, info_ref, *, n):
             col = jnp.sum(jnp.where(colsp == jj, P, 0.0), axis=1,
                           keepdims=True)
             d2 = jnp.sum(jnp.where(rcol == j, col, 0.0))
-            bad = d2 <= 0.0
+            bad = ~(d2 > 0.0)   # NaN-safe: flags NaN pivots like the
+            # reference's `aii <= zero || isnan(aii)` (spotrf.c:47-51)
             info = jnp.where(bad & (info == 0), j + 1, info)
             d = jnp.sqrt(jnp.where(bad, 1.0, d2))
             newcol = jnp.where(rcol == j, d,

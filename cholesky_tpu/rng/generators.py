@@ -111,8 +111,11 @@ def random_triangular(key, n, uplo="L", diag="N", dtype=jnp.float32,
     rdt = real_dtype(dtype)
     k1, k2 = jax.random.split(key)
     if is_complex(dtype):
-        A = (jax.random.uniform(k1, (n, n), rdt) - 0.5
-             + 1j * (jax.random.uniform(k2, (n, n), rdt) - 0.5)).astype(dtype)
+        # lax.complex keeps the target width — `re + 1j*im` promotes to
+        # complex128 under x64, which the TPU compiler rejects outright
+        A = jax.lax.complex(jax.random.uniform(k1, (n, n), rdt) - 0.5,
+                            jax.random.uniform(k2, (n, n), rdt) - 0.5
+                            ).astype(dtype)
     else:
         A = (jax.random.uniform(k1, (n, n), rdt) - 0.5).astype(dtype)
     if well_conditioned:

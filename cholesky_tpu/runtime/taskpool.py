@@ -13,6 +13,7 @@ make; here one library carries both modes via the `sequential` flag).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -21,6 +22,7 @@ from typing import Callable, Optional
 
 _SRC = Path(__file__).parent / "csrc" / "taskpool.cpp"
 _LIB = Path(__file__).parent / "csrc" / "libtaskpool.so"
+_STAMP = Path(__file__).parent / "csrc" / "libtaskpool.srchash"
 _build_lock = threading.Lock()
 _lib = None
 
@@ -42,13 +44,20 @@ class TaskPoolError(RuntimeError):
 
 
 def _build() -> Path:
+    """Compile taskpool.cpp on first use. The binary is never committed —
+    a content hash of the source is stamped next to it, so a stale or
+    foreign .so is always recompiled from the reviewed source (mtime is
+    nondeterministic after a fresh clone)."""
+    src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()
     with _build_lock:
-        if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        if (_LIB.exists() and _STAMP.exists()
+                and _STAMP.read_text().strip() == src_hash):
             return _LIB
         subprocess.run(
             ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", "-pthread",
              str(_SRC), "-o", str(_LIB)],
             check=True, capture_output=True)
+        _STAMP.write_text(src_hash)
         return _LIB
 
 

@@ -58,6 +58,20 @@ def test_potrf_non_pd_info(uplo):
     assert int(info2) <= 21
 
 
+@pytest.mark.parametrize("uplo", ["U", "L"])
+def test_potf2_nan_pivot_sets_info(uplo):
+    # A NaN pivot must set info (the reference spotf2 checks
+    # `aii <= zero || isnan(aii)`, lapack/spotrf.c:47-51); the naive
+    # `ajj <= 0` predicate is False for NaN and silently reports success.
+    A = np.asarray(spd(N, jnp.float32, cond=10.0)).copy()
+    A[12, 12] = np.nan
+    A = jnp.asarray(0.5 * (A + A.T))
+    _, info = lp.potf2(uplo, A)
+    assert 1 <= int(info) <= 13
+    F, infoB = lp.potrf(uplo, A, block_size=16)
+    assert 1 <= int(infoB) <= 13
+
+
 @pytest.mark.parametrize("dtype", ALL_DTYPES)
 @pytest.mark.parametrize("uplo", ["U", "L"])
 @pytest.mark.parametrize("diag", ["N", "U"])

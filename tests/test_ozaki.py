@@ -45,10 +45,38 @@ def test_matmul_f64_exact_small_ints():
                                   np.asarray(A) @ np.asarray(B))
 
 
-def test_k_guard():
-    with pytest.raises(AssertionError):
-        matmul_f64(jnp.zeros((8, K_EXACT_MAX + 128), jnp.float64),
-                   jnp.zeros((K_EXACT_MAX + 128, 8), jnp.float64))
+def test_k_beyond_exact_bound_chunks():
+    # K beyond the int32-exact bound splits the contraction into exact
+    # chunks instead of failing at trace time (round-1 hard-asserted)
+    k = K_EXACT_MAX + 128
+    rs = np.random.RandomState(7)
+    A = jnp.asarray(rs.uniform(-1, 1, (4, k)), jnp.float64)
+    B = jnp.asarray(rs.uniform(-1, 1, (k, 4)), jnp.float64)
+    C = matmul_f64(A, B, slices=6)
+    ref = np.asarray(A) @ np.asarray(B)
+    np.testing.assert_allclose(np.asarray(C), ref, rtol=0,
+                               atol=k * 2.0 ** -40)
+
+
+def test_dpotrf_f32_boundary_detection_pinned():
+    """Pins the documented behavior of the Ozaki refinement leaves: non-PD
+    detection happens at f32 precision (the diagonal block is factored by
+    the f32 Pallas kernel, ops/blocked.py _OzakiTiles.potf2). A matrix
+    that is PD in f64 but loses definiteness under f32 rounding reports
+    info > 0 — a deliberate deviation from a true-f64 potf2, traded for
+    MXU-speed leaves; callers needing exact f64 pivoting use backend='xla'.
+    """
+    # [[1, a], [a, a² + δ]]: det = δ = 1e-12 > 0 (PD in f64), but in f32
+    # a² + δ rounds back to a² ⇒ pivot 2 becomes exactly 0 ⇒ flagged.
+    a, delta = 0.5, 1e-12
+    A = jnp.asarray([[1.0, a], [a, a * a + delta]], jnp.float64)
+    # f64 oracle: succeeds
+    from cholesky_tpu.ops import lapack_ref
+    _, info_ref = lapack_ref.potf2("L", A)
+    assert int(info_ref) == 0
+    # Ozaki-leaf path: detects at f32 ⇒ info = 2 (pinned)
+    _, info_oz = blocked.potrf("L", A, backend="ozaki")
+    assert int(info_oz) == 2
 
 
 @pytest.mark.parametrize("uplo", ["L", "U"])

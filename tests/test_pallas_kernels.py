@@ -70,6 +70,16 @@ def test_potf2_leaf_nonpd_info():
     assert np.isfinite(np.asarray(L)).all()
 
 
+def test_potf2_leaf_nan_pivot_sets_info():
+    # NaN pivots must be flagged like non-positive ones (the reference
+    # checks `aii <= zero || isnan(aii)`, spotrf.c:47-51)
+    A = np.asarray(generators.latmc(jax.random.PRNGKey(9), 128, 10.0,
+                                    jnp.float32)).copy()
+    A[17, 17] = np.nan
+    L, info = potf2_f32(jnp.asarray(A, jnp.float32))
+    assert 1 <= int(info) <= 18
+
+
 @pytest.mark.parametrize("n", [128, 256])
 @pytest.mark.parametrize("unit", [False, True])
 def test_trti2_leaf(n, unit):
