@@ -83,10 +83,15 @@ def _trsm_dist_body(local, B, *, nblk, nb, npad, axis, trans):
     return lax.fori_loop(0, nblk, bwd_step, B)
 
 
-def trsm_dist(fbc: BlockCyclic, B, trans: str = "N"):
+def trsm_factor_dist(fbc: BlockCyclic, B, trans: str = "N"):
     """Solve op(L)·X = B against the distributed factor; B is a replicated
     (n, nrhs) array; returns replicated X (n, nrhs).
-    trans ∈ {'N','T','C'}."""
+    trans ∈ {'N','T','C'}.
+
+    (The *general* distributed triangular solve — any side/uplo/trans/diag,
+    sharded wide B, reference cuMultiGPUStrsm blas.h:338-362 — is
+    parallel/blas.trsm_dist; this one is specialized to the
+    factor-then-solve path where L is already block-cyclic.)"""
     nblk, nb, npad = fbc.local.shape
     squeeze = B.ndim == 1
     if squeeze:
@@ -103,3 +108,8 @@ def trsm_dist(fbc: BlockCyclic, B, trans: str = "N"):
                        out_specs=P(), check_vma=False)
     X = fn(fbc.local, B)[:fbc.n]
     return X[:, 0] if squeeze else X
+
+
+#: Back-compat alias (pre-round-2 name, before the general trsm_dist
+#: landed in parallel/blas.py).
+trsm_dist = trsm_factor_dist

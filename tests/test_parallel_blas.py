@@ -46,8 +46,9 @@ def test_gemm_dist_output_sharded(mesh):
 
 @pytest.mark.parametrize("uplo", ["L", "U"])
 @pytest.mark.parametrize("trans", ["N", "T"])
-def test_syrk_dist(mesh, uplo, trans):
-    n, k = 200, 96
+@pytest.mark.parametrize("n", [200, 201, 333])   # 201/333: n % p != 0 (the
+def test_syrk_dist(mesh, uplo, trans, n):        # round-1 padding crash)
+    k = 96
     A = rnd(6, (n, k) if trans == "N" else (k, n))
     C = rnd(7, (n, n))
     out = dblas.syrk_dist(uplo, trans, -1.0, A, 1.0, C, mesh)
@@ -61,6 +62,57 @@ def test_syrk_dist(mesh, uplo, trans):
     anti = np.triu(np.asarray(out), 1) if uplo == "L" else np.tril(np.asarray(out), -1)
     anti_c = np.triu(np.asarray(C), 1) if uplo == "L" else np.tril(np.asarray(C), -1)
     np.testing.assert_array_equal(anti, anti_c)
+
+
+@pytest.mark.parametrize("uplo", ["L", "U"])
+@pytest.mark.parametrize("trans", ["N", "C"])
+@pytest.mark.parametrize("n", [200, 201])
+def test_herk_dist(mesh, uplo, trans, n):
+    # reference cuMultiGPUCherk (include/blas.h:275-287)
+    k = 64
+    kr, ki = jax.random.split(jax.random.PRNGKey(10))
+    shape = (n, k) if trans == "N" else (k, n)
+    A = jax.lax.complex(jax.random.uniform(kr, shape) - 0.5,
+                        jax.random.uniform(ki, shape) - 0.5
+                        ).astype(jnp.complex64)
+    Cr, Ci = jax.random.split(jax.random.PRNGKey(11))
+    C = jax.lax.complex(jax.random.uniform(Cr, (n, n)) - 0.5,
+                        jax.random.uniform(Ci, (n, n)) - 0.5
+                        ).astype(jnp.complex64)
+    out = dblas.herk_dist(uplo, trans, 0.7, A, -0.2, C, mesh)
+    An = to_np128(A)
+    An = An if trans == "N" else An.conj().T
+    full = 0.7 * (An @ An.conj().T) - 0.2 * to_np128(C)
+    np.fill_diagonal(full, full.diagonal().real)
+    mask = np.tril(np.ones((n, n))) if uplo == "L" else np.triu(np.ones((n, n)))
+    ref = np.where(mask > 0, full, to_np128(C))
+    assert_close(out, ref, jnp.complex64, 8 * k + 6, f"herk_dist {uplo}{trans}")
+
+
+@pytest.mark.parametrize("side", ["L", "R"])
+@pytest.mark.parametrize("uplo", ["L", "U"])
+@pytest.mark.parametrize("trans", ["N", "T"])
+@pytest.mark.parametrize("diag", ["N", "U"])
+@pytest.mark.parametrize("n", [200, 333])
+def test_trsm_dist_general(mesh, side, uplo, trans, diag, n):
+    # reference cuMultiGPUStrsm family (include/blas.h:338-362): general
+    # sharded B, all side/uplo/trans/diag combos, incl. n % p != 0
+    m = 96
+    na = m if side == "L" else n
+    A = generators.random_triangular(jax.random.PRNGKey(12), na, uplo, diag,
+                                     jnp.float32)
+    B = rnd(13, (m, n))
+    out = dblas.trsm_dist(side, uplo, trans, diag, 0.8, A, B, mesh)
+    T = to_np128(A)
+    T = np.tril(T) if uplo == "L" else np.triu(T)
+    if diag == "U":
+        np.fill_diagonal(T, 1.0)
+    T = T if trans == "N" else T.T
+    Bn = 0.8 * to_np128(B)
+    ref = (np.linalg.solve(T, Bn) if side == "L"
+           else np.linalg.solve(T.T, Bn.T).T)
+    assert_close(out, ref, jnp.float32, 30 * na,
+                 f"trsm_dist {side}{uplo}{trans}{diag}")
 
 
 @pytest.mark.parametrize("side", ["L", "R"])

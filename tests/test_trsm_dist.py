@@ -8,7 +8,7 @@ from jax.sharding import Mesh
 
 from cholesky_tpu.parallel import blockcyclic
 from cholesky_tpu.parallel.potrf import potrf_dist
-from cholesky_tpu.parallel.trsm import trsm_dist
+from cholesky_tpu.parallel.trsm import trsm_factor_dist as trsm_dist
 from cholesky_tpu.rng import generators
 from tests.util import assert_close, to_np128
 
