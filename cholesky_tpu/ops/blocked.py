@@ -214,8 +214,36 @@ class _OzakiTiles(_XlaTiles):
         return jnp.tril(P) + jnp.triu(A, 1)
 
 
+def _route_complex(A, backend: str) -> bool:
+    """Should this operand go through the real-embedding complex path
+    (ops/complex_embed.py)?
+
+    - (re, im) pair operands always do: the pair form exists because c128
+      cannot even be materialized on TPU (the only other complex entry
+      point would be a dtype that does not compile).
+    - complex arrays do under backend='embed' anywhere, and under 'auto'
+      on TPU — where native-XLA c64 results cannot be transferred and c128
+      is rejected at compile (CLAUDE.md dtype rules). Off-TPU 'auto' keeps
+      native XLA complex (measured faster at library sizes).
+    The reference treats c/z as first-class in every routine
+    (reference include/lapack.h:16-158); this routing is what makes that
+    true through the public API on TPU.
+    """
+    if isinstance(A, tuple):
+        return True
+    if not is_complex(A.dtype):
+        return False
+    if backend == "embed":
+        return True
+    return backend == "auto" and config.on_tpu()
+
+
 def _tiles_for(dtype, backend: str):
     dtype = jnp.dtype(dtype)
+    if backend == "embed":
+        check(False, "blocked", 0,
+              "backend='embed' requires complex operands "
+              "(arrays or (re, im) pairs)")
     if backend == "pallas":
         check(dtype == jnp.dtype(jnp.float32), "blocked", 0,
               f"pallas backend supports float32 only, got {dtype}")
@@ -426,7 +454,15 @@ def potrf(uplo, A, backend: str = "auto", block_size: Optional[int] = None,
 
     method: 'substitute' (recursive trsm panels, minimal FLOPs),
     'inverse' (invert-as-you-go: ~2× FLOPs, ~half the ops — faster at
-    small/mid sizes on latency-bound attachments), or 'auto'."""
+    small/mid sizes on latency-bound attachments), or 'auto'.
+
+    Complex operands (arrays or (re, im) pairs) route through the real
+    embedding onto the fast real tiles when _route_complex says so —
+    c64 rides the f32 Pallas path, c128 the f64 Ozaki path."""
+    if _route_complex(A, backend):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.potrf_split(uplo, A, backend="auto",
+                                         block_size=block_size)
     uplo = norm_uplo(uplo)
     n = lapack_ref._square(A, "potrf")
     if backend == "ref":
@@ -448,12 +484,31 @@ def potrf(uplo, A, backend: str = "auto", block_size: Optional[int] = None,
 
 
 def potf2(uplo, A, backend: str = "auto", **kw):
+    """Unblocked Cholesky of one diagonal block. f32 blocks of kernel-
+    compatible size route through the in-VMEM Pallas leaf under
+    'pallas'/'auto' (reference device-side spotf2, spotrf.cu:26-107);
+    everything else uses the oracle sweep. Complex operands (arrays on
+    TPU, (re, im) pairs anywhere) go through the embedding driver."""
+    if _route_complex(A, backend):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.potrf_split(uplo, A, backend="auto")
+    u = norm_uplo(uplo)
+    n = lapack_ref._square(A, "potf2")
+    if (backend in ("auto", "pallas") and A.dtype == jnp.float32
+            and 0 < n and (n <= _pl.PANEL or n % _pl.PANEL == 0)):
+        W = _to_lower(A, u)
+        L, info = _pl.potf2_f32(W)
+        return _merge_triangle(_from_lower(L, u), A, u), info
     return lapack_ref.potf2(uplo, A)
 
 
 def trtri(uplo, diag, A, backend: str = "auto",
           block_size: Optional[int] = None):
     """Blocked triangular inverse (reference cuStrtri, strtri.c:369-472)."""
+    if _route_complex(A, backend):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.trtri_split(uplo, diag, A, backend="auto",
+                                         block_size=block_size)
     uplo = norm_uplo(uplo)
     diag = norm_diag(diag)
     n = lapack_ref._square(A, "trtri")
@@ -482,6 +537,10 @@ def trtri2(uplo, diag, A, backend: str = "auto", **kw):
 
 def lauum(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
     """Blocked triangular square (reference cuSlauum, slauum.c:197-305)."""
+    if _route_complex(A, backend):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.lauum_split(uplo, A, backend="auto",
+                                         block_size=block_size)
     uplo = norm_uplo(uplo)
     n = lapack_ref._square(A, "lauum")
     if backend == "ref":
@@ -508,6 +567,10 @@ def logdet(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
     """Fused SPD log-determinant: blocked potrf + log-diag reduction
     (reference cuSlogdet slogdet.cu reduction, collapsed into an XLA-fused
     epilogue)."""
+    if _route_complex(A, backend):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.logdet_split(uplo, A, backend="auto",
+                                          block_size=block_size)
     F, info = potrf(uplo, A, backend=backend, block_size=block_size)
     return lapack_ref.logdet_from_factor(F), info
 
@@ -522,10 +585,16 @@ def _static_scalar(x) -> bool:
 
 def _fast_tiles_or_none(dtype, backend: str):
     """Fast tile backend for the BLAS wrappers, or None to use blas_ref:
-    f32 → Pallas; f64 → Ozaki (explicit, or 'auto' on TPU); complex → ref
-    (native XLA complex measured faster than the embedding at these sizes).
+    f32 → Pallas; f64 → Ozaki (explicit, or 'auto' on TPU). Complex is
+    routed to the embedding BEFORE this is consulted (_route_complex);
+    complex reaching here means native XLA was chosen (off-TPU 'auto' or
+    explicit 'xla'/'ref' — measured faster than the embedding on CPU).
     """
     dtype = jnp.dtype(dtype)
+    if backend == "embed":
+        check(False, "blocked", 0,
+              "backend='embed' requires complex operands "
+              "(arrays or (re, im) pairs)")
     if backend in ("auto", "pallas") and dtype == jnp.dtype(jnp.float32):
         return _PallasTiles()
     if dtype == jnp.dtype(jnp.float64) and (
@@ -537,6 +606,11 @@ def _fast_tiles_or_none(dtype, backend: str):
 
 
 def gemm(transa, transb, alpha, A, B, beta, C, backend: str = "auto"):
+    if _route_complex(A, backend) and _static_scalar(alpha) \
+            and _static_scalar(beta):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.gemm_split(transa, transb, alpha, A, B, beta,
+                                        C, backend="auto")
     transa, transb = norm_trans(transa), norm_trans(transb)
     t = _fast_tiles_or_none(A.dtype, backend) \
         if _static_scalar(alpha) and _static_scalar(beta) else None
@@ -568,13 +642,22 @@ def syrk(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
 
 
 def herk(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
-    if A.dtype == jnp.float32:
+    if _route_complex(A, backend) and _static_scalar(alpha) \
+            and _static_scalar(beta):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.herk_split(uplo, trans, alpha, A, beta, C,
+                                        backend="auto")
+    if not isinstance(A, tuple) and A.dtype == jnp.float32:
         tr = "N" if norm_trans(trans) == Trans.NO_TRANS else "T"
         return syrk(uplo, tr, alpha, A, beta, C, backend=backend)
     return blas_ref.herk(uplo, trans, alpha, A, beta, C)
 
 
 def trmm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
+    if _route_complex(A, backend) and _static_scalar(alpha):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.trmm_split(side, uplo, transa, diag, alpha,
+                                        A, B, backend="auto")
     side = norm_side(side)
     transa = norm_trans(transa)
     if (backend in ("auto", "pallas") and A.dtype == jnp.float32
@@ -595,6 +678,14 @@ def trsm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto",
          block_size: Optional[int] = None):
     """Blocked triangular solve via the diagonal-inverse trick
     (reference cuStrsm / hybridSpotrf panel substitution)."""
+    if _route_complex(A, backend):
+        from cholesky_tpu.ops import complex_embed
+        check(_static_scalar(alpha), "trsm", 5,
+              "complex trsm via the embedding needs a static real alpha "
+              "(scale B yourself for complex alpha)")
+        return complex_embed.trsm_split(side, uplo, transa, diag, alpha,
+                                        A, B, backend="auto",
+                                        block_size=block_size)
     side = norm_side(side)
     uplo = norm_uplo(uplo)
     transa = norm_trans(transa)

@@ -61,6 +61,17 @@ def _split(A):
     return A.real, A.imag
 
 
+def _merge_triangle_planes(rr, ri, ar, ai, uplo):
+    """Selected triangle from the result planes, opposite strict triangle
+    from the caller's planes (public-driver storage contract, same as
+    blocked._merge_triangle)."""
+    if norm_uplo(uplo) == Uplo.LOWER:
+        return (jnp.tril(rr) + jnp.triu(ar, 1),
+                jnp.tril(ri) + jnp.triu(ai, 1))
+    return (jnp.triu(rr) + jnp.tril(ar, -1),
+            jnp.triu(ri) + jnp.tril(ai, -1))
+
+
 def _merge(re, im, like):
     if isinstance(like, tuple):
         return re, im
@@ -72,9 +83,11 @@ def potrf_split(uplo, A, backend: str = "auto",
     """Complex Cholesky via the real embedding. ``A`` is a complex array or
     an (re, im) pair of real arrays (the only TPU-viable form for c128);
     the result matches the input form. Returns (factor, info); info indexes
-    the complex pivot (1-based)."""
+    the complex pivot (1-based). The opposite strict triangle of the
+    caller's matrix passes through (public-driver storage contract)."""
     uplo = norm_uplo(uplo)
-    re, im = _split(A)
+    re0, im0 = _split(A)
+    re, im = re0, im0
     if uplo == Uplo.UPPER:
         # lower-canonicalize: conj transpose ⇒ (reᵀ, −imᵀ)
         re, im = re.T, -im.T
@@ -86,6 +99,7 @@ def potrf_split(uplo, A, backend: str = "auto",
     info = jnp.where(info_e > 0, (info_e + 1) // 2, 0).astype(jnp.int32)
     if uplo == Uplo.UPPER:
         fr, fi = fr.T, -fi.T
+    fr, fi = _merge_triangle_planes(fr, fi, re0, im0, uplo)
     return _merge(fr, fi, A), info
 
 
@@ -114,7 +128,8 @@ def trtri_split(uplo, diag, A, backend: str = "auto",
     triangular: L⁻¹ = L′⁻¹·diag(u)."""
     uplo = norm_uplo(uplo)
     diag = norm_diag(diag)
-    re, im = _split(A)
+    re0, im0 = _split(A)
+    re, im = re0, im0
     if uplo == Uplo.UPPER:
         re, im = re.T, -im.T
     if diag == Diag.UNIT:
@@ -133,6 +148,7 @@ def trtri_split(uplo, diag, A, backend: str = "auto",
     info = jnp.where(info_e > 0, (info_e + 1) // 2, 0).astype(jnp.int32)
     if uplo == Uplo.UPPER:
         wr, wi = wr.T, -wi.T
+    wr, wi = _merge_triangle_planes(wr, wi, re0, im0, uplo)
     return _merge(wr, wi, A), info
 
 
@@ -142,7 +158,8 @@ def lauum_split(uplo, A, backend: str = "auto",
     L′ = diag(conj(d)/|d|)·L has a real diagonal (unitary row scaling
     cancels in the Hermitian product)."""
     uplo = norm_uplo(uplo)
-    re, im = _split(A)
+    re0, im0 = _split(A)
+    re, im = re0, im0
     if uplo == Uplo.UPPER:
         re, im = re.T, -im.T
     rep, imp, _, _ = _real_diag_form(re, im)
@@ -153,6 +170,7 @@ def lauum_split(uplo, A, backend: str = "auto",
     rr, ri = unembed(Rfull)
     if uplo == Uplo.UPPER:
         rr, ri = rr.T, -ri.T
+    rr, ri = _merge_triangle_planes(rr, ri, re0, im0, uplo)
     return _merge(rr, ri, A)
 
 
@@ -175,6 +193,99 @@ def logdet_split(uplo, A, backend: str = "auto",
                                  block_size=block_size)
     info = jnp.where(info_e > 0, (info_e + 1) // 2, 0).astype(jnp.int32)
     return 0.5 * val, info
+
+
+def _op_planes(re, im, trans):
+    """Apply op (N/T/C) to a complex matrix given as planes."""
+    from cholesky_tpu.types import Trans, norm_trans
+    t = norm_trans(trans)
+    if t == Trans.NO_TRANS:
+        return re, im
+    if t == Trans.TRANS:
+        return re.T, im.T
+    return re.T, -im.T
+
+
+def gemm_split(transa, transb, alpha, A, B, beta, C, backend: str = "auto"):
+    """Complex GEMM via the embedding: E(α·op(A)·op(B) + β·C) =
+    α·E(op A)·E(op B) + β·E(C) — one real GEMM at 2× each dimension on the
+    fast real tiles (c64 → f32 Pallas, c128 → f64 Ozaki). This is the TPU
+    analog of the reference's split-storage complex kernels
+    (reference blas/cgemm.cu:7-15, zgemm.cu). α, β static real scalars.
+    Operands are complex arrays or (re, im) pairs; the result matches C's
+    form."""
+    ar, ai = _op_planes(*_split(A), transa)
+    br, bi = _op_planes(*_split(B), transb)
+    cr, ci = _split(C)
+    out = blocked.gemm("N", "N", alpha, embed(ar, ai), embed(br, bi),
+                       beta, embed(cr, ci), backend=backend)
+    rr, ri = unembed(out)
+    return _merge(rr, ri, C)
+
+
+def herk_split(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
+    """Complex HERK via the embedding: with X = op(A),
+    E(α·X·Xᴴ + β·C) = α·E(X)·E(X)ᵀ + β·E(C) — a real symmetric rank-k
+    update (reference cuCherk/cuZherk, blas/cherk.cu). α, β real. Only the
+    selected triangle of C is read; the result diagonal is exactly real
+    and the opposite strict triangle of the caller's C passes through."""
+    from cholesky_tpu.types import Trans, norm_trans
+    uplo = norm_uplo(uplo)
+    t = norm_trans(trans)
+    xr, xi = _op_planes(*_split(A), "N" if t == Trans.NO_TRANS else "C")
+    cr, ci = _split(C)
+    n = cr.shape[0]
+    # Hermitian completion of the selected triangle (reads only it)
+    if uplo == Uplo.LOWER:
+        hr = jnp.tril(cr) + jnp.tril(cr, -1).T
+        hi = jnp.tril(ci, -1) - jnp.tril(ci, -1).T
+    else:
+        hr = jnp.triu(cr) + jnp.triu(cr, 1).T
+        hi = jnp.triu(ci, 1) - jnp.triu(ci, 1).T
+    EX = embed(xr, xi)
+    out = blocked.gemm("N", "T", alpha, EX, EX, beta, embed(hr, hi),
+                       backend=backend)
+    rr, ri = unembed(out)
+    # exact-real diagonal (herk contract), caller triangle restored
+    ri = ri - jnp.diag(jnp.diag(ri))
+    if uplo == Uplo.LOWER:
+        rr = jnp.tril(rr) + jnp.triu(cr, 1)
+        ri = jnp.tril(ri, -1) + jnp.triu(ci, 1)
+    else:
+        rr = jnp.triu(rr) + jnp.tril(cr, -1)
+        ri = jnp.triu(ri, 1) + jnp.tril(ci, -1)
+    return _merge(rr, ri, C)
+
+
+def trmm_split(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
+    """Complex TRMM via the embedding: mask the triangle (and unit
+    diagonal) at the COMPLEX level, then one embedded real GEMM
+    (reference cuCtrmm2/cuZtrmm2, blas/ztrmm.cu). α static real."""
+    from cholesky_tpu.types import Side, Diag, norm_side
+    side = norm_side(side)
+    uplo = norm_uplo(uplo)
+    diag = norm_diag(diag)
+    ar, ai = _split(A)
+    if uplo == Uplo.LOWER:
+        tr, ti = jnp.tril(ar), jnp.tril(ai)
+    else:
+        tr, ti = jnp.triu(ar), jnp.triu(ai)
+    if diag == Diag.UNIT:
+        n = tr.shape[0]
+        tr = tr - jnp.diag(jnp.diag(tr)) + jnp.eye(n, dtype=tr.dtype)
+        ti = ti - jnp.diag(jnp.diag(ti))
+    tr, ti = _op_planes(tr, ti, transa)
+    br, bi = _split(B)
+    ET = embed(tr, ti)
+    EB = embed(br, bi)
+    if side == Side.LEFT:
+        out = blocked.gemm("N", "N", alpha, ET, EB, 0.0,
+                           jnp.zeros_like(EB), backend=backend)
+    else:
+        out = blocked.gemm("N", "N", alpha, EB, ET, 0.0,
+                           jnp.zeros_like(EB), backend=backend)
+    rr, ri = unembed(out)
+    return _merge(rr, ri, B)
 
 
 def _trsm_lower_left(ar, ai, br, bi, trans, unit, backend, block_size):

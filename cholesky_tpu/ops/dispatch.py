@@ -14,7 +14,7 @@ import jax
 
 from cholesky_tpu.ops import blas_ref, lapack_ref
 
-_BACKENDS = ("auto", "ref", "xla", "pallas", "ozaki")
+_BACKENDS = ("auto", "ref", "xla", "pallas", "ozaki", "embed")
 
 
 def _resolve(backend: str | None) -> str:
@@ -30,7 +30,7 @@ def _wrap_blas(name):
     @functools.wraps(ref_fn)
     def fn(*args, backend: str | None = None, **kwargs):
         b = _resolve(backend)
-        if b in ("auto", "xla", "pallas", "ozaki"):
+        if b in ("auto", "xla", "pallas", "ozaki", "embed"):
             from cholesky_tpu.ops import blocked
             impl = getattr(blocked, name, None)
             if impl is not None:
@@ -46,7 +46,7 @@ def _wrap_lapack(name):
     @functools.wraps(ref_fn)
     def fn(*args, backend: str | None = None, **kwargs):
         b = _resolve(backend)
-        if b in ("auto", "xla", "pallas", "ozaki"):
+        if b in ("auto", "xla", "pallas", "ozaki", "embed"):
             from cholesky_tpu.ops import blocked
             impl = getattr(blocked, name, None)
             if impl is not None:

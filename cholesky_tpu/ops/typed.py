@@ -33,13 +33,25 @@ _MATRIX_ARG = {
 
 def _make(letter: str, name: str):
     dtype = jnp.dtype(PRECISIONS[letter])
+    # the (re, im) pair form of a complex operand — the only TPU-viable
+    # entry for z routines (c128 cannot be materialized on device); pairs
+    # carry the matching real dtype planes
+    pair_dtype = {"c": jnp.dtype(jnp.float32), "z": jnp.dtype(jnp.float64)
+                  }.get(letter)
     generic = getattr(dispatch, name)
     argpos = _MATRIX_ARG[name]
 
     def typed(*args, **kwargs):
         A = args[argpos]
-        check(jnp.dtype(A.dtype) == dtype, letter + name, argpos + 1,
-              f"expected {dtype}, got {A.dtype}")
+        if isinstance(A, tuple):
+            check(pair_dtype is not None
+                  and jnp.dtype(A[0].dtype) == pair_dtype, letter + name,
+                  argpos + 1,
+                  f"(re, im) pair must carry {pair_dtype} planes for "
+                  f"{letter}{name}, got {A[0].dtype}")
+        else:
+            check(jnp.dtype(A.dtype) == dtype, letter + name, argpos + 1,
+                  f"expected {dtype}, got {A.dtype}")
         return generic(*args, **kwargs)
 
     typed.__name__ = letter + name

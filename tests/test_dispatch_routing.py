@@ -24,6 +24,27 @@ def test_fast_tiles_routing():
     assert blocked._fast_tiles_or_none(jnp.complex64, "xla") is None
 
 
+def test_potf2_routes_to_pallas_leaf():
+    # blocked.potf2 must honor its backend arg: f32 kernel-size blocks go
+    # through the in-VMEM Pallas leaf, and upper storage canonicalizes
+    import jax
+    from cholesky_tpu.rng import generators
+    A = generators.latmc(jax.random.PRNGKey(3), 128, 20.0, jnp.float32)
+    for uplo in ("L", "U"):
+        F, info = blocked.potf2(uplo, A, backend="pallas")
+        Fr, info_r = blocked.potf2(uplo, A, backend="ref")
+        assert int(info) == int(info_r) == 0
+        tri = np.tril if uplo == "L" else np.triu
+        np.testing.assert_allclose(tri(np.asarray(F)), tri(np.asarray(Fr)),
+                                   rtol=0, atol=2e-4)
+        # opposite strict triangle untouched
+        anti = (np.triu(np.asarray(F), 1) if uplo == "L"
+                else np.tril(np.asarray(F), -1))
+        anti_in = (np.triu(np.asarray(A), 1) if uplo == "L"
+                   else np.tril(np.asarray(A), -1))
+        np.testing.assert_array_equal(anti, anti_in)
+
+
 def test_tiles_for_backend_validation():
     with pytest.raises(ValueError):
         blocked._tiles_for(jnp.float64, "pallas")
