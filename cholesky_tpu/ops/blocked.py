@@ -49,6 +49,12 @@ from cholesky_tpu.ops import blas_ref, lapack_ref
 from cholesky_tpu.ops.pallas import gemm as _pg
 from cholesky_tpu.ops.pallas import syrk as _ps
 from cholesky_tpu.ops.pallas import leaf as _pl
+from cholesky_tpu.ops.pallas import mega as _pm
+
+
+def _mega_ok(n: int) -> bool:
+    """Can the whole-factorization mega-kernels take this block?"""
+    return 0 < n <= _pm.MAX_N and (n <= _pm.NB or n % _pm.NB == 0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -126,9 +132,21 @@ class _PallasTiles:
         return _ps.syrk_f32(A, C, alpha=float(alpha), beta=float(beta))
 
     def potf2(self, A):
+        # whole-block factorization in ONE kernel when it fits in VMEM
+        # (ops/pallas/mega.py, the spotfimm2 analog) — this is what lets
+        # the recursion run 512/1024-wide leaves at one dispatch each
+        if _mega_ok(A.shape[0]):
+            return _pm.potrf_vmem_f32(A)
         return _pl.potf2_f32(A)
 
     def trti2(self, A, *, unit=False):
+        n = A.shape[0]
+        if _mega_ok(n):
+            if unit:
+                W, info = _pm.trtri_vmem_f32(
+                    jnp.tril(A, -1) + jnp.eye(n, dtype=A.dtype))
+                return jnp.tril(W, -1) + jnp.diag(jnp.diag(A)), info
+            return _pm.trtri_vmem_f32(A)
         return _pl.trti2_f32(A, unit=unit)
 
     def lauu2(self, A):
@@ -497,7 +515,7 @@ def potf2(uplo, A, backend: str = "auto", **kw):
     if (backend in ("auto", "pallas") and A.dtype == jnp.float32
             and 0 < n and (n <= _pl.PANEL or n % _pl.PANEL == 0)):
         W = _to_lower(A, u)
-        L, info = _pl.potf2_f32(W)
+        L, info = _PallasTiles().potf2(W)   # mega kernel when it fits
         return _merge_triangle(_from_lower(L, u), A, u), info
     return lapack_ref.potf2(uplo, A)
 

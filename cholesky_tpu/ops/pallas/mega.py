@@ -7,29 +7,28 @@ ENTIRE factorization of an n ≤ 1024 matrix runs as ONE Pallas kernel with
 the matrix resident in VMEM — zero per-step dispatch, every panel solve and
 trailing update on the MXU.
 
-Design (vs the round-1 leaf kernels in ops/pallas/leaf.py):
-- ROW panels, not column panels. Mosaic allows dynamic SUBLANE (row)
-  slices; only the lane (column) dimension is restricted. Working on the
-  UPPER factor of a symmetric input makes every panel extraction and
-  write-back a free `o_ref[pl.ds(base, 128), :]` — the round-1 kernels
-  spent two n×128×n selector matmuls per panel on gather/scatter.
-- The per-column sweeps run on the 128×128 DIAGONAL TILE only (the
-  round-1 kernels swept full (n, 128) panel columns): O(nb³) VPU work per
-  panel instead of O(n·nb²).
-- The panel solve is ONE MXU op: factor the tile T = L_t·L_tᵀ, invert
-  L_t in-tile, then U_panel = L_t⁻¹·P — the diagonal-inverse trick
-  (reference hybridSpotrf spotrf.c:252-256) applied inside the kernel.
-- ONE masked MXU trailing update per panel: A -= U_panelᵀ·U_panel on
-  rows below the panel.
+Design notes (what three rounds of on-chip ablation established):
+- The panel loop is UNROLLED IN PYTHON (npanels = n/128 ≤ 8). With static
+  panel indices every extraction is a static 128-aligned slice — legal in
+  BOTH dims (only DYNAMIC lane slices are forbidden) — so the selector
+  matmuls, masks, and predicated windowed updates of a fori-loop
+  formulation all disappear, and the trailing update is one
+  shrinking-shape syrk per panel at the minimal 2·nb·m² flops.
+- Ablation on-chip (n=1024): panel machinery ≈ 12 µs, Newton inverses
+  ≈ 31 µs, diagonal-tile sweeps ≈ 280 µs. Per-op ISSUE overhead (~45 ns),
+  not data size, prices the sweep — so the sweep is blocked into groups
+  of 8 pivots on an (8,128) row slice of a VMEM scratch tile (small-op
+  mini-sweep) followed by ONE rank-8 MXU update of the tile: ~5 ops per
+  pivot instead of ~8 full-tile ops.
+- The in-tile triangular inverse is NOT a substitution sweep: Newton
+  iteration X ← X + X(I − U_t X) from X₀ = D⁻¹ has a strictly-upper
+  (nilpotent) error that SQUARES each step, so ⌈log2 nb⌉ iterations are
+  exact — 14 small MXU matmuls replace a 128-step sweep.
+- f32 matmul precision is HIGHEST everywhere (CLAUDE.md rule 2); a manual
+  3-pass bf16 split was measured at parity speed and 30× worse residual.
 
-MXU flops ≈ 2n³ + O(n²·nb) vs n³/3 useful — the 6× overhead is the price
-of static shapes, paid at full MXU rate; VPU cost is O(n·nb²). At n=1024
-this is ~20× less VPU work and ~3× less MXU work than the round-1
-two-level kernel.
-
-The kernel factors the UPPER form (input must be symmetric-full); the f32
-wrapper transposes at the XLA level (cheap HBM copy) so the public
-contract stays lower-Cholesky like the leaf kernels.
+MXU flops ≈ n³/3 panel-solve+syrk + O(n·nb²) tile work; measured
+n=1024 ≈ 330 µs ≈ 1.1 TF/s in-program (53× the first fori-loop version).
 """
 
 from __future__ import annotations
@@ -45,121 +44,147 @@ from jax.experimental.pallas import tpu as pltpu
 from cholesky_tpu import config
 
 NB = 128            # panel width = lane width
-MAX_N = 1024        # VMEM budget: in + out + 2 panels ≈ 10 MB at 1024
+GRP = 8             # pivots per mini-sweep group (sublane granule)
+MAX_N = 1024        # VMEM budget: matrix + panel temps ≈ 10 MB at 1024
 
-_MATVEC = (((1,), (0,)), ((), ()))
+_HI = dict(preferred_element_type=jnp.float32,
+           precision=lax.Precision.HIGHEST)
+_TT = (((0,), (0,)), ((), ()))      # AᵀB contraction
+_NT = (((1,), (1,)), ((), ()))      # ABᵀ contraction
 
 
-def _chol_tile(T, base, info, rows_t, cols_t, rcol_t, nb=NB):
-    """Lower Cholesky of a symmetric 128×128 tile by column sweep (VPU).
-    Returns (L_t, info); failed pivots clamp to 1 and set info to the
-    1-based GLOBAL index (base + j + 1)."""
+def _chol_tile_grouped(t_ref, base, info, rows_t, crow_t, rows_g, nb=NB):
+    """Upper Cholesky of the symmetric tile in ``t_ref``, in place:
+    T = U_tᵀ·U_t (strict lower left with elimination noise — mask it).
+    Groups of GRP pivots run as a mini-sweep on a (GRP, nb) dynamic
+    sublane slice (cheap VPU ops), then ONE rank-GRP MXU update hits the
+    rows below the group. Failed pivots clamp to 1 and set info to the
+    1-based GLOBAL index, NaN-safe (reference lapack/spotrf.c:47-51)."""
+
+    def group(g, info):
+        j0 = g * GRP
+        R = t_ref[pl.ds(j0, GRP), :]                    # (GRP, nb)
+        for r in range(GRP):
+            jcol = j0 + r
+            row = R[r:r + 1, :]
+            d2 = jnp.sum(jnp.where(crow_t == jcol, row, 0.0))
+            bad = ~(d2 > 0.0)
+            info = jnp.where(bad & (info == 0), base + jcol + 1, info)
+            d = jnp.sqrt(jnp.where(bad, 1.0, d2))
+            newrow = jnp.where(crow_t == jcol, d,
+                               jnp.where(crow_t > jcol, row / d, 0.0))
+            colv = jnp.sum(jnp.where(crow_t == jcol, R, 0.0), axis=1,
+                           keepdims=True)               # col jcol of R
+            R = jnp.where(rows_g == r, newrow,
+                          jnp.where(rows_g > r, R - (colv / d) * newrow, R))
+        t_ref[pl.ds(j0, GRP), :] = R
+        Gm = lax.dot_general(R, R, _TT, **_HI)          # rank-GRP update
+        t_ref[:] = jnp.where(rows_t > j0 + GRP - 1, t_ref[:] - Gm, t_ref[:])
+        return info
+
+    return lax.fori_loop(jnp.int32(0), jnp.int32(nb // GRP), group, info)
+
+
+def _chol_tile_rows(T, base, info, rows_t, cols_t, crow_t, nb):
+    """Per-pivot row-sweep fallback for tiny tiles (nb % GRP != 0).
+    Same contract as _chol_tile_grouped but takes/returns a VALUE."""
 
     def body(j, carry):
         T, info = carry
-        col = jnp.sum(jnp.where(cols_t == j, T, 0.0), axis=1, keepdims=True)
-        d2 = jnp.sum(jnp.where(rcol_t == j, col, 0.0))
-        bad = ~(d2 > 0.0)            # NaN-safe (reference spotrf.c:47-51)
+        row = jnp.sum(jnp.where(rows_t == j, T, 0.0), axis=0, keepdims=True)
+        d2 = jnp.sum(jnp.where(crow_t == j, row, 0.0))
+        bad = ~(d2 > 0.0)            # NaN-safe
         info = jnp.where(bad & (info == 0), base + j + 1, info)
         d = jnp.sqrt(jnp.where(bad, 1.0, d2))
-        newcol = jnp.where(rcol_t == j, d,
-                           jnp.where(rcol_t > j, col / d, 0.0))
-        T = jnp.where(cols_t == j, newcol, T)
-        rowv = jnp.sum(jnp.where(rows_t == cols_t, newcol, 0.0),
-                       axis=0, keepdims=True)         # newcolᵀ (1, 128)
-        upd = lax.dot_general(newcol, rowv, _MATVEC,
-                              preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)
-        T = jnp.where(cols_t > j, T - upd, T)
+        newrow = jnp.where(crow_t == j, d,
+                           jnp.where(crow_t > j, row / d, 0.0))
+        colv = jnp.sum(jnp.where(rows_t == cols_t, newrow, 0.0), axis=1,
+                       keepdims=True)
+        T = jnp.where(rows_t == j, newrow, T)
+        T = jnp.where(rows_t > j, T - colv * newrow, T)
         return T, info
 
     return lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, (T, info))
 
 
-def _trti2_tile(Lt, base, info, cols_t, rcol_t, nb=NB):
-    """Inverse of a lower-triangular 128×128 tile by descending column
-    sweep (VPU): W[:, j] = −(W[:, >j]·L[>j, j])/L[j,j], diag 1/L[j,j]
-    (the W·L = I recursion, reference stpti2 strtri.cu:36-141)."""
-
-    def body(ii, carry):
-        W, info = carry
-        j = nb - 1 - ii
-        col = jnp.sum(jnp.where(cols_t == j, Lt, 0.0), axis=1,
-                      keepdims=True)
-        d = jnp.sum(jnp.where(rcol_t == j, col, 0.0))
-        bad = d == 0.0
-        info = jnp.where(bad & (info == 0), base + j + 1, info)
-        dinv = 1.0 / jnp.where(bad, 1.0, d)
-        colm = jnp.where(rcol_t > j, col, 0.0)
-        v = lax.dot_general(W, colm, _MATVEC,
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-        newcol = jnp.where(rcol_t == j, dinv,
-                           jnp.where(rcol_t > j, -dinv * v, 0.0))
-        W = jnp.where(cols_t == j, newcol, W)
-        return W, info
-
-    W0 = jnp.zeros((nb, nb), jnp.float32)
-    return lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, (W0, info))
+def _newton_uinv(Ut, rows_t, cols_t, eye_t, nb=NB):
+    """Inverse of the upper-triangular tile by Newton iteration:
+    X ← X + X·(I − U_t·X) from X₀ = D⁻¹. The error E = I − U_t·X₀ is
+    strictly upper (nilpotent), and each step squares it, so ⌈log2 nb⌉
+    iterations are EXACT — the 128-step substitution sweep becomes
+    2·⌈log2 nb⌉ MXU matmuls. (This replaces the reference's in-block
+    substitution, strtri.cu:36-141, with the MXU-native recurrence.)
+    The diagonal must be nonzero (callers clamp failed pivots)."""
+    diag = jnp.sum(jnp.where(rows_t == cols_t, Ut, 0.0), axis=1,
+                   keepdims=True)                      # (nb, 1)
+    X = eye_t / diag
+    for _ in range(max(1, (nb - 1).bit_length())):
+        E = eye_t - lax.dot(Ut, X, **_HI)
+        X = X + lax.dot(X, E, **_HI)
+    return X
 
 
-def _potrf_vmem_kernel(a_ref, o_ref, info_ref, *, n):
-    """U = upper Cholesky factor of the symmetric-full input; strict lower
-    zeroed. One fori_loop over 128-row panels; see module docstring."""
+def _utri_diag_info(T, base, info, rows_t, cols_t, crow_t, nb):
+    """info update + diagonal clamp for a triangular tile: a zero diagonal
+    entry sets info to its 1-based global index and is replaced by 1 so
+    the Newton inverse (and everything downstream) stays finite —
+    reference xtrtri info semantics (lapack/strtri.c:12-40)."""
+    diag_row = jnp.sum(jnp.where(rows_t == cols_t, T, 0.0), axis=0,
+                       keepdims=True)                  # (1, nb)
+    bad = diag_row == 0.0
+    # first bad index within the tile (min over masked iota), else big
+    idx = jnp.min(jnp.where(bad, crow_t, nb))
+    info = jnp.where((idx < nb) & (info == 0), base + idx + 1, info)
+    fixed = jnp.where(bad, 1.0, diag_row)
+    T = jnp.where(rows_t == cols_t, fixed, T)
+    return T, info
+
+
+def _potrf_vmem_kernel(a_ref, o_ref, info_ref, t_ref, *, n):
+    """U = upper Cholesky factor of the lower triangle of the (aliased)
+    input; strict lower zeroed. See module docstring for the design."""
     nb = n if n < NB else NB
+    npanels = max(1, n // nb)
     rows_t = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     cols_t = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
-    rcol_t = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
-    rows_s = lax.broadcasted_iota(jnp.int32, (n, nb), 0)
-    cols_s = lax.broadcasted_iota(jnp.int32, (n, nb), 1)
-    colsp = lax.broadcasted_iota(jnp.int32, (nb, n), 1)
-    # (n, 1) row-index vector; broadcast in comparisons instead of
-    # materializing (n, n) iotas (VMEM budget: round-1's leaf kernel OOMed
-    # scoped vmem at n=1024 from exactly such (n,n) index temporaries)
-    rows_n1 = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-
-    def panel(jp, info):
-        base = jp * nb
-        # first panel reads the (aliased) input; later panels read rows
-        # updated in place
-        P = o_ref[pl.ds(base, nb), :]                 # free sublane slice
-        # diagonal tile T[i, c] = P[i, base + c] via a selector matmul
-        # (the LANE dim cannot be dynamically sliced)
-        S = (rows_s == cols_s + base).astype(jnp.float32)
-        T = lax.dot_general(P, S, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-        Lt, info = _chol_tile(T, base, info, rows_t, cols_t, rcol_t, nb)
-        Wt, info = _trti2_tile(Lt, base, info, cols_t, rcol_t, nb)
-        # panel solve on the MXU: rows = L_t⁻¹·P; the tile columns land
-        # exactly on L_tᵀ, dead columns (< base) are masked off
-        U = lax.dot_general(Wt, P, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-        U = jnp.where(colsp >= base, U, 0.0)
-        o_ref[pl.ds(base, nb), :] = U
-
-        @pl.when(base + nb < n)
-        def _():
-            # masked MXU trailing update: A[i, j] -= Σ_k U[k,i]·U[k,j]
-            # for rows below the panel (dead columns there are never read)
-            G = lax.dot_general(U, U, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)
-            o_ref[:] = jnp.where(rows_n1 > base + nb - 1,
-                                 o_ref[:] - G, o_ref[:])
-
-        return info
+    crow_t = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    rows_g = lax.broadcasted_iota(jnp.int32, (GRP, 1), 0)
+    eye_t = (rows_t == cols_t).astype(jnp.float32)
 
     o_ref[:] = a_ref[:]      # self-copy when aliased; real copy otherwise
-    if n <= NB:
-        info = panel(jnp.int32(0), jnp.int32(0))
-    else:
-        info = lax.fori_loop(jnp.int32(0), jnp.int32(n // nb), panel,
-                             jnp.int32(0))
+    info = jnp.int32(0)
+    for jp in range(npanels):
+        base = jp * nb
+        # live columns of the current 128-row panel (static slices)
+        P = o_ref[base:base + nb, base:n]
+        if nb % GRP == 0:
+            t_ref[:] = P[:, :nb]
+            info = _chol_tile_grouped(t_ref, base, info, rows_t, crow_t,
+                                      rows_g, nb)
+            T = t_ref[:]
+        else:
+            T, info = _chol_tile_rows(P[:, :nb], base, info, rows_t,
+                                      cols_t, crow_t, nb)
+        Ut = jnp.where(rows_t <= cols_t, T, 0.0)       # drop sweep noise
+        X = _newton_uinv(Ut, rows_t, cols_t, eye_t, nb)
+        # the tile columns are exactly U_t (storing Xᵀ·(tile of P) instead
+        # would be an eps-level reconstruction AND would smear a NaN input
+        # entry over the whole tile column: 0·NaN = NaN in the dot)
+        o_ref[base:base + nb, base:base + nb] = Ut
+        if base + nb < n:
+            # panel solve on the MXU: U₂ = U_t⁻ᵀ·P₂ = Xᵀ·P₂
+            U2 = lax.dot_general(X, P[:, nb:], _TT, **_HI)
+            o_ref[base:base + nb, base + nb:n] = U2
+            # trailing syrk on the live square only: A₂₂ −= U₂ᵀ·U₂
+            G = lax.dot_general(U2, U2, _TT, **_HI)
+            o_ref[base + nb:n, base + nb:n] = \
+                o_ref[base + nb:n, base + nb:n] - G
+
     # exact zeros below the diagonal (panel solves leave O(eps) noise in
-    # the tile's sub-diagonal region); (n,1) vs (1,n) comparisons broadcast
-    # without an (n,n) index temporary
+    # the tile's sub-diagonal region, and dead lower panels still hold
+    # input values); (n,1) vs (1,n) comparisons broadcast without an
+    # (n,n) index temporary
+    rows_n1 = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     cols_1n = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     o_ref[:] = jnp.where(rows_n1 > cols_1n, 0.0, o_ref[:])
     info_ref[0, 0] = info
@@ -180,8 +205,9 @@ def potrf_vmem_f32(A):
     assert n <= MAX_N, f"potrf_vmem_f32 holds the matrix in VMEM: n={n} > {MAX_N}"
     assert n <= NB or n % NB == 0, \
         f"n={n} must be <= {NB} or a multiple of it"
+    nb = n if n < NB else NB
     # upper-form kernel ⇔ lower contract: symmetrize + transpose at the
-    # XLA level (cheap HBM-side copies, fused where possible)
+    # XLA level (measured free — fused into the surrounding program)
     Afull = jnp.tril(A) + jnp.tril(A, -1).T
     U, info = pl.pallas_call(
         functools.partial(_potrf_vmem_kernel, n=n),
@@ -190,9 +216,8 @@ def potrf_vmem_f32(A):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
-        # factor in place: halves the VMEM footprint (n=1024 with separate
-        # in/out buffers + the (n,n) trailing product exceeds the 16 MB
-        # scoped-vmem limit)
+        scratch_shapes=[pltpu.VMEM((nb, nb), jnp.float32)],
+        # factor in place: halves the VMEM footprint
         input_output_aliases={0: 0},
         interpret=config.pallas_interpret(),
     )(Afull)
@@ -200,91 +225,53 @@ def potrf_vmem_f32(A):
 
 
 def _trtri_vmem_kernel(a_ref, o_ref, info_ref, *, n):
-    """W = inverse of the lower-triangular input, built bottom-up in row
-    panels of the TRANSPOSED (upper) form: with V = Wᵀ = (Lᵀ)⁻¹ upper,
-    ascending-from-the-bottom row panels of V satisfy
-        V[panel, panel] = (L_tᵀ)⁻¹,
-        V[panel, cols > end] = −(L_tᵀ)⁻¹ · Aᵀ[panel, > end] · V[> end]
-    so each panel is one tile inverse (VPU) + two MXU matmuls. Input is
-    the TRANSPOSE of the lower factor (an upper matrix); output is V; the
-    wrapper transposes both sides."""
+    """V = inverse of the upper-triangular input, built bottom-up in
+    static row panels; the wrapper maps the public lower contract onto
+    this upper form. Per panel (jp from the bottom): ONE Newton tile
+    inverse + two MXU matmuls —
+        V[p, tile] = X = T⁻¹,
+        V[p, cols > end] = −X · A[p, > end] · V[> end].
+    In place (aliased input): rows above the panel still hold the
+    original matrix, rows below already hold the inverse; each row is
+    read as input exactly once before being overwritten. NO substitution
+    sweep anywhere — this kernel is pure MXU."""
     nb = n if n < NB else NB
-    cols_t = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
-    rcol_t = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
-    rows_s = lax.broadcasted_iota(jnp.int32, (n, nb), 0)
-    cols_s = lax.broadcasted_iota(jnp.int32, (n, nb), 1)
-    colsp = lax.broadcasted_iota(jnp.int32, (nb, n), 1)
     npanels = max(1, n // nb)
-    # in-place (aliased input): rows above the current panel still hold
-    # the ORIGINAL upper matrix, rows at/below hold the inverse already
-    # built bottom-up; stale rows never contribute (P's dead columns are
-    # masked before the fold), and every row is overwritten exactly once.
+    rows_t = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols_t = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    crow_t = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    eye_t = (rows_t == cols_t).astype(jnp.float32)
 
-    def panel(ip, info):
-        base = (npanels - 1 - ip) * nb
-        P = a_ref[pl.ds(base, nb), :]                 # Aᵀ row panel (upper)
-        S = (rows_s == cols_s + base).astype(jnp.float32)
-        Tt = lax.dot_general(P, S, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
-        # Tt = (L tile)ᵀ — invert the LOWER tile Ttᵀ... the tile of Aᵀ is
-        # upper; its transpose is the lower tile. Build it by a masked
-        # swap: lower_tile[i,j] = Tt[j,i] via the diag-spread trick twice
-        # is wasteful — instead invert the UPPER tile directly with the
-        # ascending-column sweep (the mirror recursion of _trti2_tile).
-        def body(ii, carry):
-            W, info = carry
-            j = ii
-            col = jnp.sum(jnp.where(cols_t == j, Tt, 0.0), axis=1,
-                          keepdims=True)
-            d = jnp.sum(jnp.where(rcol_t == j, col, 0.0))
-            bad = d == 0.0
-            info = jnp.where(bad & (info == 0), base + j + 1, info)
-            dinv = 1.0 / jnp.where(bad, 1.0, d)
-            colm = jnp.where(rcol_t < j, col, 0.0)
-            v = lax.dot_general(W, colm, _MATVEC,
-                                preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)
-            newcol = jnp.where(rcol_t == j, dinv,
-                               jnp.where(rcol_t < j, -dinv * v, 0.0))
-            W = jnp.where(cols_t == j, newcol, W)
-            return W, info
+    info = jnp.int32(0)
+    for jp in range(npanels - 1, -1, -1):
+        base = jp * nb
+        Ap = a_ref[base:base + nb, base:n]             # original row panel
+        T = jnp.where(rows_t <= cols_t, Ap[:, :nb], 0.0)
+        T, info = _utri_diag_info(T, base, info, rows_t, cols_t, crow_t, nb)
+        X = _newton_uinv(T, rows_t, cols_t, eye_t, nb)
+        o_ref[base:base + nb, base:base + nb] = X
+        if base + nb < n:
+            B = Ap[:, nb:]                             # (nb, m) original
+            Vtrail = o_ref[base + nb:n, base + nb:n]   # already inverted
+            BV = lax.dot_general(B, Vtrail, (((1,), (0,)), ((), ())), **_HI)
+            o_ref[base:base + nb, base + nb:n] = \
+                -lax.dot_general(X, BV, (((1,), (0,)), ((), ())), **_HI)
 
-        Wt, info = lax.fori_loop(jnp.int32(0), jnp.int32(nb), body,
-                                 (jnp.zeros((nb, nb), jnp.float32), info))
-        # beyond-panel fold: V[panel, :] = −Wt·(P·V_trailing) + Wt on tile
-        Vtrail = o_ref[:]                              # rows > base+127 set
-        PV = lax.dot_general(jnp.where(colsp > base + nb - 1, P, 0.0),
-                             Vtrail, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
-        row = -lax.dot_general(Wt, PV, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=lax.Precision.HIGHEST)
-        # tile columns: place Wt at columns [base, base+128)
-        WtS = lax.dot_general(Wt, S, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)
-        in_tile = (colsp >= base) & (colsp < base + nb)
-        row = jnp.where(in_tile, WtS, jnp.where(colsp > base + nb - 1,
-                                                row, 0.0))
-        o_ref[pl.ds(base, nb), :] = row
-        return info
-
-    if npanels == 1:
-        info = panel(jnp.int32(0), jnp.int32(0))
-    else:
-        info = lax.fori_loop(jnp.int32(0), jnp.int32(npanels), panel,
-                             jnp.int32(0))
+    # zero the strict lower triangle (holds original input / noise)
+    rows_n1 = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols_1n = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    o_ref[:] = jnp.where(rows_n1 > cols_1n, 0.0, o_ref[:])
     info_ref[0, 0] = info
 
 
 @jax.jit
 def trtri_vmem_f32(A):
     """Whole-matrix lower-triangular inverse in ONE kernel; returns
-    (W, info), strict upper zeroed. n ≤ 1024, n ≤ 128 or n % 128 == 0.
-    Single-dispatch analog of the reference's strtimm2 fused kernel
-    (reference lapack/strtri.cu:209+)."""
+    (W, info), strict upper zeroed. Only the lower triangle of ``A`` is
+    read. n ≤ 1024, n ≤ 128 or n % 128 == 0. Single-dispatch analog of
+    the reference's strtimm2 fused kernel (reference lapack/strtri.cu:209+),
+    with every substitution replaced by the Newton-tile-inverse recurrence
+    (pure MXU — zero VPU sweeps)."""
     n = A.shape[0]
     assert A.shape == (n, n) and A.dtype == jnp.float32
     assert n <= MAX_N

@@ -1,0 +1,118 @@
+"""Whole-factorization in-VMEM mega-kernels (ops/pallas/mega.py) —
+the spotfimm2 analog (reference lapack/spotrf.cu:200-318), on the CPU
+mesh in interpret mode. On-chip behavior is covered by tools/smoke_tpu.py
+and the golden sweeps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cholesky_tpu.ops.pallas import mega
+from cholesky_tpu.ops import blocked
+from cholesky_tpu.rng import generators
+from tests.util import assert_close
+
+
+def spd(n, cond=50.0, seed=0):
+    return generators.latmc(jax.random.PRNGKey(seed), n, cond, jnp.float32)
+
+
+@pytest.mark.parametrize("n", [8, 64, 128, 256, 512])
+def test_potrf_vmem(n):
+    A = spd(n)
+    L, info = mega.potrf_vmem_f32(A)
+    assert int(info) == 0
+    Ln = np.asarray(L, np.float64)
+    # strict upper must be exactly zero
+    assert np.all(np.triu(Ln, 1) == 0.0)
+    An = np.asarray(A, np.float64)
+    ref = np.linalg.cholesky(np.tril(An) + np.tril(An, -1).T)
+    assert_close(Ln, ref, jnp.float32, 8 * n, f"potrf_vmem n={n}")
+
+
+def test_potrf_vmem_only_lower_read():
+    # the strict upper triangle of the input must never be read
+    A = np.array(spd(256))
+    A[np.triu_indices(256, 1)] = np.nan
+    L, info = mega.potrf_vmem_f32(jnp.asarray(A))
+    assert int(info) == 0
+    assert np.isfinite(np.asarray(L)).all()
+
+
+def test_potrf_vmem_nonpd_info_and_finite():
+    # failed pivot: 1-based index, clamped to 1, everything stays finite
+    A = np.array(spd(256, cond=10.0))
+    A[4, 4] = -1.0
+    L, info = mega.potrf_vmem_f32(jnp.asarray(A))
+    assert int(info) == 5
+    assert np.isfinite(np.asarray(L)).all()
+
+
+def test_potrf_vmem_nan_pivot():
+    # NaN pivot sets info (reference checks `aii <= zero || isnan(aii)`,
+    # lapack/spotrf.c:47-51); the clamp keeps the factorization finite
+    A = np.array(spd(256, cond=10.0))
+    A[7, 7] = np.nan
+    L, info = mega.potrf_vmem_f32(jnp.asarray(A))
+    assert int(info) == 8
+    assert np.isfinite(np.asarray(L)).all()
+
+
+@pytest.mark.parametrize("n", [8, 64, 128, 256, 512])
+def test_trtri_vmem(n):
+    A = spd(n)
+    F, _ = mega.potrf_vmem_f32(A)
+    W, info = mega.trtri_vmem_f32(F)
+    assert int(info) == 0
+    Wn = np.asarray(W, np.float64)
+    assert np.all(np.triu(Wn, 1) == 0.0)
+    Fn = np.tril(np.asarray(F, np.float64))
+    resid = np.max(np.abs(Wn @ Fn - np.eye(n)))
+    # |W·F − I| ≤ fpe·eps·cond-ish; the factor of a cond-50 SPD matrix
+    assert resid < 60 * n * np.finfo(np.float32).eps, resid
+
+
+def test_trtri_vmem_zero_diag_info():
+    # a zero diagonal entry sets info to its 1-based index (reference
+    # xtrtri semantics, lapack/strtri.c:12-40) and output stays finite
+    A = np.array(np.tril(np.asarray(spd(256))), np.float32)
+    np.fill_diagonal(A, 1.0)
+    A[9, 9] = 0.0
+    W, info = mega.trtri_vmem_f32(jnp.asarray(A))
+    assert int(info) == 10
+    assert np.isfinite(np.asarray(W)).all()
+
+
+def test_blocked_dispatch_uses_mega():
+    # _PallasTiles.potf2/trti2 must route VMEM-sized blocks to the mega
+    # kernels (the dispatch-honesty item, VERDICT r1 Next #10)
+    assert blocked._mega_ok(512)
+    assert blocked._mega_ok(1024)
+    assert not blocked._mega_ok(1025)
+    assert not blocked._mega_ok(2048)
+    assert not blocked._mega_ok(192)  # not a multiple of 128, > 128
+
+
+@pytest.mark.parametrize("unit", [False, True])
+def test_blocked_trti2_mega_unit(unit):
+    # the unit-diag path through _PallasTiles.trti2 must preserve the
+    # caller's diagonal and invert with implicit ones
+    n = 256
+    F = generators.random_triangular(jax.random.PRNGKey(3), n, "L",
+                                     "U" if unit else "N", jnp.float32)
+    t = blocked._PallasTiles()
+    W, info = t.trti2(F, unit=unit)
+    assert int(info) == 0
+    Fn = np.tril(np.asarray(F, np.float64))
+    if unit:
+        np.fill_diagonal(Fn, 1.0)
+    ref = np.linalg.inv(Fn)
+    Wn = np.asarray(W, np.float64)
+    if unit:
+        # diagonal passes through untouched
+        np.testing.assert_array_equal(np.diag(np.asarray(W)),
+                                      np.diag(np.asarray(F)))
+        Wn = np.tril(Wn, -1) + np.eye(n)
+    assert_close(np.tril(Wn), np.tril(ref), jnp.float32, 60 * n,
+                 f"trti2 mega unit={unit}")
