@@ -677,15 +677,41 @@ def trmm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
         return complex_embed.trmm_split(side, uplo, transa, diag, alpha,
                                         A, B, backend="auto")
     side = norm_side(side)
+    uplo = norm_uplo(uplo)
     transa = norm_trans(transa)
     if (backend in ("auto", "pallas") and A.dtype == jnp.float32
             and _static_scalar(alpha)):
-        T = blas_ref.op(blas_ref._tri(A, uplo, diag), transa)
-        t = _PallasTiles()
-        if side == Side.LEFT:
-            return t.mm(T, B, alpha=alpha)
-        return t.mm(B, T, alpha=alpha)
+        # all 16 side/uplo/trans/diag combos canonicalize onto the ONE
+        # live-tile (left, lower, no-trans) kernel via O(n²) XLA
+        # transposes/reversals — the TPU answer to the reference's 16
+        # hand-written per-combination kernels (blas/strmm.cu,
+        # ztrmm.cu:73-1005): half the MXU flops and half the A-traffic
+        # of the round-1 masked-full-GEMM tier.
+        M = blas_ref._tri(A, uplo, diag)
+        if side == Side.RIGHT:           # B·op(M) = (op(M)ᵀ·Bᵀ)ᵀ
+            return _trmm_left_f32(M, uplo, _flip_trans(transa),
+                                  B.T, alpha).T
+        return _trmm_left_f32(M, uplo, transa, B, alpha)
     return blas_ref.trmm(side, uplo, transa, diag, alpha, A, B)
+
+
+def _flip_trans(transa):
+    return (Trans.TRANS if norm_trans(transa) == Trans.NO_TRANS
+            else Trans.NO_TRANS)        # T and C coincide for real f32
+
+
+def _trmm_left_f32(M, uplo, transa, B, alpha):
+    """op(M)·B with M an exactly-triangular f32 matrix, via the live-tile
+    Pallas kernel. op(M) is lower iff (lower, N) or (upper, T); upper
+    forms reduce to lower by the double-reversal identity
+    U·B = flipud(rev2(U) · flipud(B)) with rev2(U) lower triangular."""
+    from cholesky_tpu.ops.pallas import trmm as _pt
+    E = M if norm_trans(transa) == Trans.NO_TRANS else M.T
+    e_lower = (uplo == Uplo.LOWER) == (norm_trans(transa) == Trans.NO_TRANS)
+    if e_lower:
+        return _pt.trmm_lln_f32(E, B, alpha=float(alpha))
+    out = _pt.trmm_lln_f32(E[::-1, ::-1], B[::-1, :], alpha=float(alpha))
+    return out[::-1, :]
 
 
 def trmm2(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):

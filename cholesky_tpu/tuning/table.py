@@ -24,6 +24,7 @@ _TABLES_DIR = Path(__file__).parent / "tables"
 DEFAULTS = {
     "matmul_f32": {"bm": 256, "bn": 256, "bk": 512},
     "syrk_f32": {"bn": 256, "bk": 512},
+    "trmm_f32": {"bn": 256, "bm": 512},
     "potrf_f32": {"leaf_nb": 128},
 }
 
