@@ -69,17 +69,23 @@ def _chol_tile_grouped(t_ref, base, info, rows_t, crow_t, rows_g, nb=NB):
             row = R[r:r + 1, :]
             d2 = jnp.sum(jnp.where(crow_t == jcol, row, 0.0))
             bad = ~(d2 > 0.0)
-            info = jnp.where(bad & (info == 0), base + jcol + 1, info)
+            alive = info == 0                           # BEFORE this pivot
+            info = jnp.where(bad & alive, base + jcol + 1, info)
             d = jnp.sqrt(jnp.where(bad, 1.0, d2))
             newrow = jnp.where(crow_t == jcol, d,
                                jnp.where(crow_t > jcol, row / d, 0.0))
             colv = jnp.sum(jnp.where(crow_t == jcol, R, 0.0), axis=1,
                            keepdims=True)               # col jcol of R
-            R = jnp.where(rows_g == r, newrow,
-                          jnp.where(rows_g > r, R - (colv / d) * newrow, R))
+            Rn = jnp.where(rows_g == r, newrow,
+                           jnp.where(rows_g > r, R - (colv / d) * newrow, R))
+            # reference spotf2 BREAKS at a failed pivot (spotrf.c:47-51):
+            # the traced equivalent freezes the sweep — without it the
+            # clamped garbage compounds exponentially to f32 overflow
+            R = jnp.where(alive & ~bad, Rn, R)
         t_ref[pl.ds(j0, GRP), :] = R
         Gm = lax.dot_general(R, R, _TT, **_HI)          # rank-GRP update
-        t_ref[:] = jnp.where(rows_t > j0 + GRP - 1, t_ref[:] - Gm, t_ref[:])
+        t_ref[:] = jnp.where((info == 0) & (rows_t > j0 + GRP - 1),
+                             t_ref[:] - Gm, t_ref[:])
         return info
 
     return lax.fori_loop(jnp.int32(0), jnp.int32(nb // GRP), group, info)
@@ -94,14 +100,17 @@ def _chol_tile_rows(T, base, info, rows_t, cols_t, crow_t, nb):
         row = jnp.sum(jnp.where(rows_t == j, T, 0.0), axis=0, keepdims=True)
         d2 = jnp.sum(jnp.where(crow_t == j, row, 0.0))
         bad = ~(d2 > 0.0)            # NaN-safe
-        info = jnp.where(bad & (info == 0), base + j + 1, info)
+        alive = info == 0
+        info = jnp.where(bad & alive, base + j + 1, info)
         d = jnp.sqrt(jnp.where(bad, 1.0, d2))
         newrow = jnp.where(crow_t == j, d,
                            jnp.where(crow_t > j, row / d, 0.0))
         colv = jnp.sum(jnp.where(rows_t == cols_t, newrow, 0.0), axis=1,
                        keepdims=True)
-        T = jnp.where(rows_t == j, newrow, T)
-        T = jnp.where(rows_t > j, T - colv * newrow, T)
+        Tn = jnp.where(rows_t == j, newrow, T)
+        Tn = jnp.where(rows_t > j, Tn - colv * newrow, Tn)
+        # freeze at the first failed pivot (reference break semantics)
+        T = jnp.where(alive & ~bad, Tn, T)
         return T, info
 
     return lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, (T, info))
@@ -172,13 +181,20 @@ def _potrf_vmem_kernel(a_ref, o_ref, info_ref, t_ref, *, n):
         # entry over the whole tile column: 0·NaN = NaN in the dot)
         o_ref[base:base + nb, base:base + nb] = Ut
         if base + nb < n:
+            # freeze past a failed pivot (reference break semantics,
+            # spotrf.c:112-115): the clamped tile's inverse is unbounded,
+            # so the solve/update results are select-discarded, keeping
+            # every stored value finite
+            ok = info == 0
             # panel solve on the MXU: U₂ = U_t⁻ᵀ·P₂ = Xᵀ·P₂
-            U2 = lax.dot_general(X, P[:, nb:], _TT, **_HI)
+            P2 = P[:, nb:]
+            U2 = lax.dot_general(X, P2, _TT, **_HI)
+            U2 = jnp.where(ok, U2, P2)
             o_ref[base:base + nb, base + nb:n] = U2
             # trailing syrk on the live square only: A₂₂ −= U₂ᵀ·U₂
             G = lax.dot_general(U2, U2, _TT, **_HI)
-            o_ref[base + nb:n, base + nb:n] = \
-                o_ref[base + nb:n, base + nb:n] - G
+            A22 = o_ref[base + nb:n, base + nb:n]
+            o_ref[base + nb:n, base + nb:n] = jnp.where(ok, A22 - G, A22)
 
     # exact zeros below the diagonal (panel solves leave O(eps) noise in
     # the tile's sub-diagonal region, and dead lower panels still hold

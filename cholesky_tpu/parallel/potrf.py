@@ -18,9 +18,14 @@ factorization is ONE compiled SPMD program per device:
 Communication per step: one psum(nb²) + one all_gather(n·nb) — both ride
 ICI; there is no host staging and no task queue (SURVEY.md §2.5 mapping).
 
-The trailing update runs full-width with masking (static shapes under jit);
-this wastes ≈2× FLOPs vs a shrinking update but keeps one shape per step —
-the lookahead/width optimization is a later-round item.
+Round 2 (VERDICT r1 Next #5): the tier now runs on the SAME fast tiles as
+the single-chip driver — f32 diagonals through the in-VMEM mega kernels,
+f64 through the Ozaki refinement leaves, trailing updates through the
+tile matmuls (reference bar: the multiGPU tier reuses the GPU kernels,
+spotrf.c:400-468) — and the trailing update shrinks in ``phases`` static
+width steps (K-phase outer unroll: each phase re-specializes the fori_loop
+on a narrower live window, cutting the full-width masking waste from ~2×
+to ~1 + 1/(2K) while keeping every shape static under jit).
 """
 
 from __future__ import annotations
@@ -42,72 +47,155 @@ def _conj(x):
     return x.conj() if is_complex(x.dtype) else x
 
 
-def _potrf_dist_body(local, *, nblk, nb, npad, axis, dtype):
+def _dist_tiles(dtype, nb: int, tiles: str):
+    """Fast tile backend for the distributed tier — the same kernels as
+    the single-chip driver (reference bar: the multiGPU tier reuses the
+    GPU kernels, spotrf.c:400-468). None = oracle lapack_ref fallback."""
+    if tiles == "ref":
+        return None
+    from cholesky_tpu.ops import blocked
+    dtype = jnp.dtype(dtype)
+    if not blocked._mega_ok(nb):     # kernel leaves need 128-aligned blocks
+        return None
+    if dtype == jnp.dtype(jnp.float32):
+        return blocked._PallasTiles()
+    if dtype == jnp.dtype(jnp.float64) and (
+            tiles == "fast" or config.on_tpu()):
+        # same platform policy as blocked._fast_tiles_or_none: Ozaki only
+        # where native f64 is emulated; 'fast' forces it (CPU-mesh tests)
+        return blocked._OzakiTiles()
+    return None      # complex stays on the oracle path (XLA-native math)
+
+
+def _potrf_dist_body(local, *, nblk, nb, npad, axis, dtype, tiles="auto",
+                     phases=4):
     """shard_map body: local is (nlocal, nb, npad) on each device."""
     p = lax.axis_size(axis)
     me = lax.axis_index(axis)
     nlocal = local.shape[0]
     g = me + jnp.arange(nlocal, dtype=jnp.int32) * p      # global block ids
     gmask = g[:, None, None]
+    t = _dist_tiles(dtype, nb, tiles)
 
-    def step(j, carry):
-        local, info = carry
-        owner = j % p
-        lloc = j // p
-        # --- diagonal block: owner's slab row lloc, columns j·nb.. ---
-        dl = lax.dynamic_slice(local, (lloc, 0, j * nb), (1, nb, nb))[0]
-        diag = lax.psum(jnp.where(me == owner, dl, jnp.zeros_like(dl)), axis)
-        Ljj, linfo = lapack_ref.potf2(Uplo.LOWER, diag)
-        Ljj = jnp.tril(Ljj)
-        info = jnp.where((info == 0) & (linfo > 0),
-                         linfo + j * nb, info).astype(jnp.int32)
-        # inverse trick: panel TRSM → GEMM by L_jj⁻¹
-        Tjj, _ = lapack_ref.trti2(Uplo.LOWER, "N", Ljj)
-        Tjj = jnp.tril(Tjj)
-        # --- panel: my row blocks i>j get A[i,j]·L_jj⁻ᴴ; block j gets L_jj ---
-        col = lax.dynamic_slice(local, (0, 0, j * nb), (nlocal, nb, nb))
-        newcol = jnp.einsum("lrk,ck->lrc", col, _conj(Tjj),
-                            precision=config.matmul_precision)
-        sel = jnp.where(gmask > j, newcol,
-                        jnp.where(gmask == j, Ljj[None], col))
-        local = lax.dynamic_update_slice(local, sel.astype(dtype),
-                                         (0, 0, j * nb))
-        # --- gather the panel column (zero for blocks ≤ j) over ICI ---
-        contrib = jnp.where(gmask > j, newcol, jnp.zeros_like(newcol))
-        gathered = lax.all_gather(contrib, axis)          # (p, nlocal, nb, nb)
-        panel = gathered.transpose(1, 0, 2, 3).reshape(npad, nb)
-        # --- masked trailing update on my row blocks:
-        #     A[i, :] -= L[i,j] · panelᴴ   (columns ≤ j·nb are zero in panel)
-        upd = jnp.einsum("lrt,ct->lrc", contrib, _conj(panel),
-                         precision=config.matmul_precision)
-        local = jnp.where(gmask > j, local - upd.astype(dtype), local)
-        return local, info
+    def make_step(off: int, width: int):
+        """One factorization step specialized on the static live window
+        [off, off+width) of the trailing columns."""
+
+        def step(j, carry):
+            local, info = carry
+            # the reference's multiGPU host loop STOPS at the first failed
+            # pivot (spotrf.c:400-468 checks info and breaks); the traced
+            # equivalent freezes all writes once info != 0 — without this,
+            # ~100 steps of clamped-pivot inverses compound to f32 overflow
+            frozen = info > 0
+            local_in = local
+            owner = j % p
+            lloc = j // p
+            # --- diagonal block: owner's slab row lloc, cols j·nb.. ---
+            dl = lax.dynamic_slice(local, (lloc, 0, j * nb), (1, nb, nb))[0]
+            diag = lax.psum(jnp.where(me == owner, dl,
+                                      jnp.zeros_like(dl)), axis)
+            if t is None:
+                Ljj, linfo = lapack_ref.potf2(Uplo.LOWER, diag)
+                Ljj = jnp.tril(Ljj)
+                Tjj, _ = lapack_ref.trti2(Uplo.LOWER, "N", Ljj)
+            else:     # fast leaves: f32 mega kernel / f64 Ozaki refinement
+                Ljj, linfo = t.potf2(diag)
+                Ljj = jnp.tril(Ljj)
+                Tjj, _ = t.trti2(Ljj)
+            Tjj = jnp.tril(Tjj)
+            # failure in THIS step: the reference stops mid-step — the
+            # failing diagonal block keeps its (clamped) partial factor,
+            # but the panel solve and trailing update do not run (the
+            # clamped factor's inverse is unbounded and would overflow)
+            fail_now = linfo > 0
+            info = jnp.where((info == 0) & fail_now,
+                             linfo + j * nb, info).astype(jnp.int32)
+            # --- panel: row blocks i>j get A[i,j]·L_jj⁻ᴴ (inverse trick,
+            #     hybridSpotrf spotrf.c:252-256); block j gets L_jj ---
+            col = lax.dynamic_slice(local, (0, 0, j * nb), (nlocal, nb, nb))
+            col2 = col.reshape(nlocal * nb, nb)
+            if t is None:
+                newcol2 = jnp.matmul(col2, _conj(Tjj).T,
+                                     precision=config.matmul_precision)
+            else:
+                newcol2 = t.mm(col2, Tjj, tb="C")
+            newcol = newcol2.reshape(nlocal, nb, nb)
+            below = jnp.where(fail_now, col, newcol)
+            sel = jnp.where(gmask > j, below,
+                            jnp.where(gmask == j, Ljj[None], col))
+            local = lax.dynamic_update_slice(local, sel.astype(dtype),
+                                             (0, 0, j * nb))
+            # --- gather the panel column (zero for blocks ≤ j) over ICI ---
+            contrib = jnp.where((gmask > j) & ~fail_now, newcol,
+                                jnp.zeros_like(newcol))
+            gathered = lax.all_gather(contrib, axis)    # (p, nlocal, nb, nb)
+            panel = gathered.transpose(1, 0, 2, 3).reshape(npad, nb)
+            panel_w = panel[off:off + width]            # static live window
+            # --- trailing update on the live window of my row blocks:
+            #     A[i, off:] -= L[i,j] · panel_wᴴ  (cols ≤ j·nb are zero) ---
+            contrib2 = contrib.reshape(nlocal * nb, nb)
+            if t is None:
+                upd2 = jnp.matmul(contrib2, _conj(panel_w).T,
+                                  precision=config.matmul_precision)
+            else:
+                upd2 = t.mm(contrib2, panel_w, tb="C")
+            upd = upd2.reshape(nlocal, nb, width)
+            W = local[:, :, off:off + width]
+            Wnew = jnp.where(gmask > j, W - upd.astype(dtype), W)
+            local = lax.dynamic_update_slice(local, Wnew, (0, 0, off))
+            return jnp.where(frozen, local_in, local), info
+
+        return step
 
     # initial info must carry the same varying-axes signature as the loop
     # output: psum over this axis of a local-derived zero gives exactly the
     # vma of the in-loop info (invariant over `axis`, varying over any
     # outer batch axes the caller sharded `local` on).
     info0 = (lax.psum(local[0, 0, 0].real, axis) * 0).astype(jnp.int32)
-    local, info = lax.fori_loop(0, nblk, step, (local, info0))
+    info = info0
+    # K-phase shrinking width: phase k runs steps [bounds[k], bounds[k+1])
+    # over the static window [bounds[k]·nb, npad)
+    K = max(1, min(phases, nblk))
+    bounds = [round(nblk * k / K) for k in range(K + 1)]
+    for k in range(K):
+        j0, j1 = bounds[k], bounds[k + 1]
+        if j0 == j1:
+            continue
+        off = j0 * nb
+        local, info = lax.fori_loop(j0, j1, make_step(off, npad - off),
+                                    (local, info))
     return local, info
 
 
-def potrf_dist(bc: BlockCyclic):
+def potrf_dist(bc: BlockCyclic, tiles: str = "auto", phases: int = 4):
     """Distributed lower Cholesky of a block-cyclic matrix.
     Returns (BlockCyclic factor, info). Lower triangle of the logical
-    matrix holds L; the strict upper region is left as-is (garbage)."""
+    matrix holds L; the strict upper region is left as-is (garbage).
+
+    tiles='auto' runs the same fast kernels as the single-chip driver
+    (f32 Pallas mega leaves, f64 Ozaki); 'ref' forces the oracle leaves.
+    phases = number of static shrinking-width stages for the trailing
+    update (1 reproduces the round-1 full-width behavior)."""
     nblk, nb, npad = bc.local.shape
     body = functools.partial(_potrf_dist_body, nblk=nblk, nb=nb, npad=npad,
-                             axis=bc.axis, dtype=bc.local.dtype)
+                             axis=bc.axis, dtype=bc.local.dtype,
+                             tiles=tiles, phases=phases)
+    # check_vma=False: the Pallas tile kernels construct ShapeDtypeStruct
+    # outputs with no varying-mesh-axes annotation, which the vma checker
+    # rejects inside shard_map; correctness is covered by the collective
+    # structure (psum/all_gather) and the mesh tests.
     fn = jax.shard_map(body, mesh=bc.mesh,
                        in_specs=P(bc.axis, None, None),
-                       out_specs=(P(bc.axis, None, None), P()))
+                       out_specs=(P(bc.axis, None, None), P()),
+                       check_vma=False)
     local, info = fn(bc.local)
     return BlockCyclic(local=local, n=bc.n, nb=bc.nb, mesh=bc.mesh,
                        axis=bc.axis), info
 
 
-def potrf_sharded(uplo, A, mesh, axis: str = "d", nb: int = 256):
+def potrf_sharded(uplo, A, mesh, axis: str = "d", nb: int = 256,
+                  tiles: str = "auto", phases: int = 4):
     """Convenience driver: distribute → factor → collect.
 
     Upper storage is canonicalized to lower by conjugate transposition, as
@@ -116,7 +204,7 @@ def potrf_sharded(uplo, A, mesh, axis: str = "d", nb: int = 256):
     uplo = norm_uplo(uplo)
     W = A.conj().T if uplo == Uplo.UPPER else A
     bc = distribute(W, mesh, axis=axis, nb=nb)
-    fbc, info = potrf_dist(bc)
+    fbc, info = potrf_dist(bc, tiles=tiles, phases=phases)
     F = collect(fbc)
     if uplo == Uplo.UPPER:
         return jnp.triu(F.conj().T) + jnp.tril(A, -1), info
@@ -140,11 +228,11 @@ def _logdet_body(local, *, nb, n, axis):
     return lax.psum(2.0 * jnp.sum(logs), axis)
 
 
-def logdet_dist(bc: BlockCyclic):
+def logdet_dist(bc: BlockCyclic, tiles: str = "auto", phases: int = 4):
     """Distributed SPD log-determinant: factor + local log-diag + psum.
     Returns (value, info). (The reference has no multi-GPU logdet —
     this closes that gap.)"""
-    fbc, info = potrf_dist(bc)
+    fbc, info = potrf_dist(bc, tiles=tiles, phases=phases)
     nblk, nb, npad = fbc.local.shape
     body = functools.partial(_logdet_body, nb=nb, n=fbc.n, axis=fbc.axis)
     val = jax.shard_map(body, mesh=fbc.mesh,
