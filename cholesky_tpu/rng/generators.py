@@ -100,6 +100,48 @@ def latmc(key, n, cond=2.0, dtype=jnp.float32, rank_correction: int = 2):
     return A
 
 
+def latmc_pair(key, n, cond=2.0, rdtype=jnp.float32, rank_correction: int = 2):
+    """``latmc`` for complex dtypes carried as an (re, im) PAIR of real
+    planes — never materializes a complex array, so it runs on TPU where
+    c64 cannot be transferred and c128 does not compile (the pair form is
+    the on-chip entry for the embedding tier, ops/complex_embed.py).
+    Same construction and exact-cond contract as :func:`latmc`."""
+    rdt = jnp.dtype(rdtype)
+    kd, kv, kp = jax.random.split(key, 3)
+    lam = jnp.linspace(jnp.asarray(1.0, rdt), jnp.asarray(cond, rdt), n)
+    vr = jax.random.normal(kv, (n, rank_correction), rdt)
+    vi = jax.random.normal(kp, (n, rank_correction), rdt)
+    nrm = jnp.sqrt(jnp.sum(vr * vr + vi * vi, axis=0, keepdims=True))
+    vr, vi = vr / nrm, vi / nrm
+    p = config.matmul_precision
+
+    def pmm(ar, ai, br, bi):
+        """(ar+i·ai)(br+i·bi) as 4 real matmuls."""
+        return (jnp.matmul(ar, br, precision=p) - jnp.matmul(ai, bi, precision=p),
+                jnp.matmul(ar, bi, precision=p) + jnp.matmul(ai, br, precision=p))
+
+    def happly(ar, ai, left):
+        for i in range(rank_correction):
+            cr, ci = vr[:, i:i + 1], vi[:, i:i + 1]
+            if left:            # A − 2 v (vᴴ A)
+                wr, wi = pmm(cr.T, -ci.T, ar, ai)
+                ur, ui = pmm(cr, ci, wr, wi)
+            else:               # A − 2 (A v) vᴴ
+                wr, wi = pmm(ar, ai, cr, ci)
+                ur, ui = pmm(wr, wi, cr.T, -ci.T)
+            ar, ai = ar - 2.0 * ur, ai - 2.0 * ui
+        return ar, ai
+
+    Ar, Ai = jnp.diag(lam), jnp.zeros((n, n), rdt)
+    Ar, Ai = happly(Ar, Ai, left=False)
+    Ar, Ai = happly(Ar, Ai, left=True)
+    # exactly Hermitian: re symmetric, im skew with zero diagonal
+    Ar = 0.5 * (Ar + Ar.T)
+    Ai = 0.5 * (Ai - Ai.T)
+    Ai = Ai - jnp.diag(jnp.diag(Ai))
+    return Ar, Ai
+
+
 def random_triangular(key, n, uplo="L", diag="N", dtype=jnp.float32,
                       well_conditioned=True):
     """Random triangular matrix for trtri/trsm/trmm tests; with

@@ -38,7 +38,11 @@ def bench_op(op_fn, x, *, chain: int = 8, reps: int = 3,
     def chained(x, acc0):
         def body(i, carry):
             x_i, acc = carry
-            out = op_fn(x_i + acc * perturb_scale)
+            # perturb only the first leaf: keeps the dependency chain for
+            # any pytree input (e.g. (re, im) pair operands)
+            leaves, treedef = jax.tree_util.tree_flatten(x_i)
+            leaves = [leaves[0] + acc * perturb_scale] + list(leaves[1:])
+            out = op_fn(jax.tree_util.tree_unflatten(treedef, leaves))
             leaf = jax.tree_util.tree_leaves(out)[0]
             acc = jnp.sum(leaf).real.astype(jnp.float32) * 1e-30
             return x, acc

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""2-minute on-chip smoke gate: run every Pallas/Mosaic kernel once on the
+real TPU at one representative size each and write a JSON artifact.
+
+Why this exists (VERDICT r1 Weak #5): CI runs the kernels in interpret
+mode on the CPU mesh, which cannot catch Mosaic-specific failure modes —
+the compiler SIGABRTs catalogued in CLAUDE.md rule 3 (dynamic lane slices,
+big-iota slices, int64 lowering recursion, ...). Without this gate those
+regressions are first seen by a 10-minute sweep. The reference's
+equivalent discipline is one standalone binary per kernel that exits
+nonzero (reference test/Makefile:17-33).
+
+Usage:  python tools/smoke_tpu.py [--out bench_results/smoke_tpu.json]
+Exit 0 = all kernels compiled AND produced numerically sane output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_smoke_cache")
+
+
+def _force(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    float(jnp.sum(leaf).real)
+    return x
+
+
+def probes():
+    """(name, fn) pairs; each fn returns (ok: bool, detail: str)."""
+    from cholesky_tpu.ops.pallas import leaf, gemm, syrk, mega
+    from cholesky_tpu.ops import ozaki
+    from cholesky_tpu.rng import generators, pallas_prng
+
+    key = jax.random.PRNGKey(0)
+    A = generators.latmc(key, 256, 50.0, jnp.float32)
+    An = np.asarray(A, np.float64)
+    Afull = np.tril(An) + np.tril(An, -1).T
+    ref_chol = np.linalg.cholesky(Afull)
+
+    def p_potf2():
+        L, info = _force(jax.jit(leaf.potf2_f32)(A))
+        err = np.max(np.abs(np.tril(np.asarray(L, np.float64)) - ref_chol))
+        return err < 1e-4 and int(info) == 0, f"err={err:.2e}"
+
+    def p_trti2():
+        F = jnp.asarray(ref_chol.astype(np.float32))
+        W, info = _force(jax.jit(leaf.trti2_f32)(F))
+        resid = np.max(np.abs(np.tril(np.asarray(W, np.float64)) @ ref_chol
+                              - np.eye(256)))
+        return resid < 1e-3 and int(info) == 0, f"resid={resid:.2e}"
+
+    def p_lauu2():
+        F = jnp.asarray(ref_chol.astype(np.float32))
+        P = _force(jax.jit(leaf.lauu2_f32)(F))
+        ref = np.tril(ref_chol.T @ ref_chol)
+        err = np.max(np.abs(np.tril(np.asarray(P, np.float64)) - ref))
+        return err < 1e-3, f"err={err:.2e}"
+
+    def p_mega_potrf():
+        L, info = _force(jax.jit(mega.potrf_vmem_f32)(A))
+        err = np.max(np.abs(np.asarray(L, np.float64) - ref_chol))
+        return err < 1e-4 and int(info) == 0, f"err={err:.2e}"
+
+    def p_mega_trtri():
+        F = jnp.asarray(ref_chol.astype(np.float32))
+        W, info = _force(jax.jit(mega.trtri_vmem_f32)(F))
+        resid = np.max(np.abs(np.asarray(W, np.float64) @ ref_chol
+                              - np.eye(256)))
+        return resid < 1e-3 and int(info) == 0, f"resid={resid:.2e}"
+
+    def p_gemm():
+        B = jax.random.normal(jax.random.PRNGKey(1), (256, 256), jnp.float32)
+        D = _force(jax.jit(gemm.matmul_f32)(A, B))
+        ref = An @ np.asarray(B, np.float64)
+        err = np.max(np.abs(np.asarray(D, np.float64) - ref))
+        return err < 1e-2 * np.max(np.abs(ref)), f"err={err:.2e}"
+
+    def p_syrk():
+        C = jnp.zeros((256, 256), jnp.float32)
+        D = _force(jax.jit(lambda a: syrk.syrk_f32(a, C, alpha=1.0,
+                                                   beta=0.0))(A))
+        ref = np.tril(An @ An.T)
+        err = np.max(np.abs(np.tril(np.asarray(D, np.float64)) - ref))
+        return err < 1e-2 * np.max(np.abs(ref)), f"err={err:.2e}"
+
+    def p_ozaki():
+        x64 = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        try:
+            Ad = jnp.asarray(Afull)
+            # slices=6 is what the _OzakiTiles tier runs (ops/blocked.py)
+            D = _force(jax.jit(lambda a: ozaki.matmul_f64(a, a,
+                                                          slices=6))(Ad))
+            ref = Afull @ Afull
+            err = np.max(np.abs(np.asarray(D) - ref)) / np.max(np.abs(ref))
+            # slices=6 = 42 mantissa bits/operand -> ~1e-11 rel (the
+            # LAPACK tier recovers full f64 via refinement on top of this)
+            return err < 1e-9, f"rel={err:.2e}"
+        finally:
+            jax.config.update("jax_enable_x64", x64)
+
+    def p_prng():
+        u = _force(pallas_prng.uniform_device(7, (1024, 1024)))
+        un = np.asarray(u)
+        ok = (un >= 0).all() and (un < 1).all() and 0.45 < un.mean() < 0.55
+        return bool(ok), f"mean={un.mean():.3f}"
+
+    return [("leaf.potf2_f32", p_potf2), ("leaf.trti2_f32", p_trti2),
+            ("leaf.lauu2_f32", p_lauu2), ("mega.potrf_vmem_f32", p_mega_potrf),
+            ("mega.trtri_vmem_f32", p_mega_trtri), ("gemm.matmul_f32", p_gemm),
+            ("syrk.syrk_f32", p_syrk), ("ozaki.matmul_f64", p_ozaki),
+            ("pallas_prng.uniform_device", p_prng)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="bench_results/smoke_tpu.json")
+    args = ap.parse_args()
+
+    backend = jax.default_backend()
+    results = {"backend": backend, "ts": time.time(), "kernels": {}}
+    failed = []
+    for name, fn in probes():
+        t0 = time.perf_counter()
+        try:
+            ok, detail = fn()
+        except Exception as e:  # Mosaic SIGABRTs kill the process; this
+            ok, detail = False, f"{type(e).__name__}: {str(e)[:200]}"
+        wall = time.perf_counter() - t0
+        ok = bool(ok)
+        results["kernels"][name] = {"ok": ok, "detail": detail,
+                                    "wall_s": round(wall, 2)}
+        print(f"  {'PASS' if ok else 'FAIL'} {name:30s} {detail} "
+              f"({wall:.1f}s)", flush=True)
+        if not ok:
+            failed.append(name)
+
+    results["ok"] = not failed
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=1))
+    print(("SMOKE PASS" if not failed else f"SMOKE FAIL: {failed}"),
+          f"-> {out}", flush=True)
+    sys.exit(0 if not failed else 1)
+
+
+if __name__ == "__main__":
+    main()
