@@ -34,19 +34,24 @@ BASELINE_GFLOPS = 175.0
 N = 4096                      # always measured (the reference's headline)
 LADDER = (8192, 16384)        # climbed while the compile budget allows
 LARGE_DEADLINE_S = 420.0
-NB = 128
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _measure(n, backend, chain=4):
+def _chain(n):
+    # amortize the ~30 ms tunnel roundtrip below the op's own runtime
+    return {4096: 64, 8192: 16}.get(n, 6) if n >= 4096 else 256
+
+
+def _measure(n, backend, chain=None):
     """Returns (gflops, resid, info) for blocked pallas potrf at size n."""
+    chain = chain or _chain(n)
     A = latmc(jax.random.PRNGKey(0), n, 100.0, jnp.float32)
+    # block_size from the tuned table (leaf_nb; mega-kernel leaves)
     f = jax.jit(functools.partial(blocked.potrf, "L",
-                                  backend="pallas" if backend == "tpu" else "xla",
-                                  block_size=NB))
+                                  backend="pallas" if backend == "tpu" else "xla"))
     t0 = time.perf_counter()
     F, info = f(A)
     float(jnp.sum(F))   # force completion (see utils/benchlib.py)
@@ -86,7 +91,7 @@ def main():
         if time.perf_counter() - start >= LARGE_DEADLINE_S:
             break
         try:
-            gfl, residl, infol = _measure(nl, backend, chain=3)
+            gfl, residl, infol = _measure(nl, backend)
             if infol == 0 and residl <= 1e-5 and gfl > gf:
                 n, gf = nl, gfl
         except Exception as e:  # keep the last good result

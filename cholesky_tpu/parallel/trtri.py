@@ -36,7 +36,8 @@ def _conj(x):
     return x.conj() if is_complex(x.dtype) else x
 
 
-def _trtri_dist_body(local, *, nblk, nb, npad, axis, dtype):
+def _trtri_dist_body(local, *, nblk, nb, npad, axis, dtype, tiles="auto"):
+    from cholesky_tpu.parallel.potrf import _dist_tiles
     p = lax.axis_size(axis)
     me = lax.axis_index(axis)
     nlocal = local.shape[0]
@@ -44,6 +45,7 @@ def _trtri_dist_body(local, *, nblk, nb, npad, axis, dtype):
     gmask = g[:, None, None]
     solve_fwd = functools.partial(_trsm_dist_body, nblk=nblk, nb=nb,
                                   npad=npad, axis=axis, trans="N")
+    t = _dist_tiles(dtype, nb, tiles)     # same kernels as the single chip
 
     def step(j, carry):
         local, info = carry
@@ -51,16 +53,22 @@ def _trtri_dist_body(local, *, nblk, nb, npad, axis, dtype):
         lloc = j // p
         dl = lax.dynamic_slice(local, (lloc, 0, j * nb), (1, nb, nb))[0]
         Ljj = lax.psum(jnp.where(me == owner, dl, jnp.zeros_like(dl)), axis)
-        Wjj, linfo = lapack_ref.trti2(Uplo.LOWER, "N", Ljj)
+        if t is None:
+            Wjj, linfo = lapack_ref.trti2(Uplo.LOWER, "N", Ljj)
+        else:           # f32 mega Newton-inverse / f64 Ozaki refinement
+            Wjj, linfo = t.trti2(Ljj)
         Wjj = jnp.tril(Wjj)
         info = jnp.where((info == 0) & (linfo > 0),
                          linfo + j * nb, info).astype(jnp.int32)
         # rhs = −L[:, j]·W_jj for blocks > j (zeros elsewhere), replicated
         col = lax.dynamic_slice(local, (0, 0, j * nb), (nlocal, nb, nb))
-        contrib = jnp.where(gmask > j,
-                            -jnp.einsum("lrk,kc->lrc", col, Wjj,
-                                        precision=config.matmul_precision),
-                            jnp.zeros_like(col))
+        if t is None:
+            prod = jnp.einsum("lrk,kc->lrc", col, Wjj,
+                              precision=config.matmul_precision)
+        else:
+            prod = t.mm(col.reshape(nlocal * nb, nb),
+                        Wjj).reshape(nlocal, nb, nb)
+        contrib = jnp.where(gmask > j, -prod, jnp.zeros_like(col))
         gathered = lax.all_gather(contrib, axis)
         rhs = gathered.transpose(1, 0, 2, 3).reshape(npad, nb).astype(dtype)
         # forward substitution over the trailing blocks (zeros ride through
@@ -81,12 +89,12 @@ def _trtri_dist_body(local, *, nblk, nb, npad, axis, dtype):
     return lax.fori_loop(0, nblk, step, (local, info0))
 
 
-def trtri_dist(bc: BlockCyclic):
+def trtri_dist(bc: BlockCyclic, tiles: str = "auto"):
     """Distributed lower triangular inverse (non-unit). Returns
-    (BlockCyclic inverse, info)."""
+    (BlockCyclic inverse, info). tiles as in potrf_dist."""
     nblk, nb, npad = bc.local.shape
     body = functools.partial(_trtri_dist_body, nblk=nblk, nb=nb, npad=npad,
-                             axis=bc.axis, dtype=bc.local.dtype)
+                             axis=bc.axis, dtype=bc.local.dtype, tiles=tiles)
     fn = jax.shard_map(body, mesh=bc.mesh,
                        in_specs=P(bc.axis, None, None),
                        out_specs=(P(bc.axis, None, None), P()),

@@ -87,7 +87,10 @@ class DT:
 
     def chol_factor(self, n):
         from cholesky_tpu.ops import blocked
-        F, _ = blocked.potrf("L", self.hpd(n), backend="auto")
+        # one jitted program: eager tracing costs one remote dispatch per
+        # XLA op (and the potrf point at the same n warms this compile)
+        F, _ = jax.jit(lambda a: blocked.potrf("L", a, backend="auto"))(
+            self.hpd(n))
         return self._tril(F)
 
     def rand(self, n, seed_off=0):
@@ -143,11 +146,12 @@ def _chain_for(n, letter):
 
 
 def _time(f, x, n, letter):
-    """(median seconds/op, f(x)) — timing via the chained-program harness."""
+    """(median seconds/op, f(x)) — timing via the chained-program harness.
+    The op value comes out of the SAME chained program (return_out): one
+    remote compile per point instead of two."""
     from cholesky_tpu.utils.benchlib import bench_op
-    out = jax.block_until_ready(f(x))
-    dt = bench_op(f, x, chain=_chain_for(n, letter), reps=3)
-    return dt, out
+    return bench_op(f, x, chain=_chain_for(n, letter), reps=3,
+                    return_out=True)
 
 
 def _tol(dt: DT, fpe, scale):
