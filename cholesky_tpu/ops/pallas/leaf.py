@@ -89,11 +89,12 @@ def _potf2_kernel(a_ref, o_ref, info_ref, *, n):
             d2 = jnp.sum(jnp.where(rcol == j, col, 0.0))
             bad = ~(d2 > 0.0)   # NaN-safe: flags NaN pivots like the
             # reference's `aii <= zero || isnan(aii)` (spotrf.c:47-51)
-            info = jnp.where(bad & (info == 0), j + 1, info)
+            alive = info == 0
+            info = jnp.where(bad & alive, j + 1, info)
             d = jnp.sqrt(jnp.where(bad, 1.0, d2))
             newcol = jnp.where(rcol == j, d,
                                jnp.where(rcol > j, col / d, 0.0))
-            P = jnp.where(colsp == jj, newcol, P)
+            Pn = jnp.where(colsp == jj, newcol, P)
             # newcol's panel-row segment as a (1, PANEL) row: masked
             # diagonal reduction (Mosaic has no cheap (n,1)→(1,n) transpose)
             rowv = jnp.sum(jnp.where(rowsp == colsp + base, newcol, 0.0),
@@ -101,7 +102,10 @@ def _potf2_kernel(a_ref, o_ref, info_ref, *, n):
             upd = lax.dot_general(newcol, rowv, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32,
                                   precision=lax.Precision.HIGHEST)
-            P = jnp.where(colsp > jj, P - upd, P)
+            Pn = jnp.where(colsp > jj, Pn - upd, Pn)
+            # reference spotf2 BREAKS at a failed pivot (spotrf.c:47-51):
+            # freeze the sweep so clamped garbage cannot compound
+            P = jnp.where(alive & ~bad, Pn, P)
             return P, info
 
         P, info = lax.fori_loop(jnp.int32(0), jnp.int32(panel), col_body,
@@ -118,8 +122,9 @@ def _potf2_kernel(a_ref, o_ref, info_ref, *, n):
         G = lax.dot_general(Lpan, Lpan, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=lax.Precision.HIGHEST)
+        # trailing update is skipped past a failure (break semantics)
         o_ref[:] = jnp.where(in_panel, PS,
-                             jnp.where(cols >= base + panel,
+                             jnp.where((info == 0) & (cols >= base + panel),
                                        o_ref[:] - G, o_ref[:]))
         return info
 

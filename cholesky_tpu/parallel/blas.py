@@ -49,6 +49,17 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _local_mm(a, b):
+    """Per-device matmul on the fast path: f64 routes through the Ozaki
+    int8 tiles on TPU (native f64 is software-emulated there — the dist
+    tier must run the same kernels as the single-chip tier, reference
+    spotrf.c:400-468); everything else is a full-precision XLA matmul."""
+    if a.dtype == jnp.float64 and config.on_tpu():
+        from cholesky_tpu.ops.ozaki import matmul_f64
+        return matmul_f64(a, b, slices=6)
+    return jnp.matmul(a, b, precision=config.matmul_precision)
+
+
 def _pad_rows(X, rows):
     return X if X.shape[0] == rows else jnp.pad(
         X, ((0, rows - X.shape[0]), (0, 0)))
@@ -65,7 +76,7 @@ def gemm_dist(transa, transb, alpha, A, B, beta, C, mesh: Mesh,
     oAp, Cp = _pad_rows(oA, mp), _pad_rows(C, mp)
 
     def body(a_loc, b_full, c_loc):
-        out = jnp.matmul(a_loc, b_full, precision=config.matmul_precision)
+        out = _local_mm(a_loc, b_full)
         return (alpha * out + beta * c_loc).astype(c_loc.dtype)
 
     fn = jax.shard_map(body, mesh=mesh,
@@ -91,7 +102,7 @@ def syrk_dist(uplo, trans, alpha, A, beta, C, mesh: Mesh, axis: str = "d"):
     def body(x_loc, c_loc):
         me = lax.axis_index(axis)
         x_full = lax.all_gather(x_loc, axis).reshape(npd, X.shape[1])
-        prod = jnp.matmul(x_loc, x_full.T, precision=config.matmul_precision)
+        prod = _local_mm(x_loc, x_full.T)
         out = alpha * prod + beta * c_loc
         gr = me * rows_per + lax.broadcasted_iota(jnp.int32,
                                                   (rows_per, npd), 0)
@@ -202,9 +213,7 @@ def trmm_dist(side, uplo, transa, diag, alpha, A, B, mesh: Mesh,
         Tp = _pad_rows(T, mp)
 
         def body(t_loc, b_full):
-            return (alpha * jnp.matmul(t_loc, b_full,
-                                       precision=config.matmul_precision)
-                    ).astype(b_full.dtype)
+            return (alpha * _local_mm(t_loc, b_full)).astype(b_full.dtype)
 
         fn = jax.shard_map(body, mesh=mesh,
                            in_specs=(P(axis, None), P()),
@@ -217,9 +226,7 @@ def trmm_dist(side, uplo, transa, diag, alpha, A, B, mesh: Mesh,
     Bp = _pad_rows(B, mp)
 
     def body(b_loc, t_full):
-        return (alpha * jnp.matmul(b_loc, t_full,
-                                   precision=config.matmul_precision)
-                ).astype(b_loc.dtype)
+        return (alpha * _local_mm(b_loc, t_full)).astype(b_loc.dtype)
 
     fn = jax.shard_map(body, mesh=mesh,
                        in_specs=(P(axis, None), P()),

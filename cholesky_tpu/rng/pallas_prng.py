@@ -70,3 +70,61 @@ def uniform_device(seed: int, shape, interval=Interval.HALF_OPEN_01):
     if interval == Interval.CLOSED:
         return u / (1.0 - eps)
     return u * (1.0 - eps) + eps
+
+
+def _fill_kernel64(seed_ref, hi_ref, lo_ref):
+    """Two decorrelated uint32 planes — the raw material for a 53-bit f64
+    mantissa, combined OUTSIDE the kernel (Mosaic has no f64 or int64;
+    CLAUDE.md rule 3/4). GRID-FREE on purpose: under x64 the pallas grid
+    index machinery itself goes int64 and crashes the Mosaic compiler, so
+    callers chunk at the XLA level with one kernel call per row block."""
+    pltpu.prng_seed(seed_ref[0])
+    bh = pltpu.bitcast(pltpu.prng_random_bits(hi_ref.shape), jnp.uint32)
+    bl = pltpu.bitcast(pltpu.prng_random_bits(lo_ref.shape), jnp.uint32)
+    # stash as int32 views; sign handling happens in the f64 combine
+    hi_ref[:] = pltpu.bitcast(bh, jnp.int32)
+    lo_ref[:] = pltpu.bitcast(bl, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "interval"))
+def uniform_device64(seed: int, shape, interval=Interval.HALF_OPEN_01):
+    """Uniform f64 fill of ``shape`` (2-D) with full 53-bit resolution —
+    the rng64/MTGP64 tier of the reference (rng.h:131-235, rng/mtgp64.cu):
+    the kernel produces two uint32 planes on the hardware PRNG; the f64
+    combine u = (hi·2³² + lo) ∈ [0, 2⁶⁴) scaled by 2⁻⁶⁴ runs in XLA's
+    emulated f64 outside the kernel (Mosaic has no int64/f64). Requires
+    x64 mode. Off-TPU falls back to threefry with the same contract."""
+    interval = Interval(interval)
+    if config.pallas_interpret():
+        return _threefry_uniform(jax.random.PRNGKey(seed), shape,
+                                 jnp.float64, interval)
+    rows, cols = shape
+    rp = min(_ROWS_PER_BLOCK, -(-rows // 8) * 8)
+    rows_p = -(-rows // rp) * rp
+    cols_p = -(-cols // 128) * 128
+    call = pl.pallas_call(
+        _fill_kernel64,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((rp, cols_p), jnp.int32),
+                   jax.ShapeDtypeStruct((rp, cols_p), jnp.int32)),
+    )
+    # one grid-free kernel per row chunk (see _fill_kernel64 docstring),
+    # seeds decorrelated per chunk
+    his, los = zip(*(call(jnp.asarray([seed + (1 << 20) + i], jnp.int32))
+                     for i in range(rows_p // rp)))
+    hi = jnp.concatenate(his, axis=0)[:rows, :cols]
+    lo = jnp.concatenate(los, axis=0)[:rows, :cols]
+    # int32 → [0, 2³²) exactly, in f64 (no int64 anywhere on this TPU)
+    fh = hi.astype(jnp.float64) + jnp.where(hi < 0, 2.0 ** 32, 0.0)
+    fl = lo.astype(jnp.float64) + jnp.where(lo < 0, 2.0 ** 32, 0.0)
+    u = (fh * (2.0 ** 32) + fl) * (2.0 ** -64)          # [0, 1)
+    eps = jnp.finfo(jnp.float64).eps
+    if interval == Interval.HALF_OPEN_01:
+        return u
+    if interval == Interval.HALF_OPEN_10:
+        return 1.0 - u
+    if interval == Interval.CLOSED:
+        return u / (1.0 - eps)
+    return u * (1.0 - eps) + eps

@@ -32,3 +32,17 @@ def test_intervals(interval, lo_ok, hi_ok):
 def test_odd_shapes():
     u = np.asarray(uniform_device(1, (100, 57)))
     assert u.shape == (100, 57)
+
+
+def test_uniform_device64():
+    # the rng64/MTGP64 tier (reference rng.h:131-235): full 53-bit f64
+    # resolution, deterministic, interval contract
+    from cholesky_tpu.rng.pallas_prng import uniform_device64
+    a = np.asarray(uniform_device64(7, (256, 128)))
+    assert a.dtype == np.float64
+    b = np.asarray(uniform_device64(7, (256, 128)))
+    np.testing.assert_array_equal(a, b)
+    assert 0.45 < a.mean() < 0.55
+    assert a.min() >= 0.0 and a.max() < 1.0
+    # resolution: f32-rounded copy must differ (values use > 24 bits)
+    assert np.max(np.abs(a - a.astype(np.float32).astype(np.float64))) > 0

@@ -117,11 +117,26 @@ def probes():
         ok = (un >= 0).all() and (un < 1).all() and 0.45 < un.mean() < 0.55
         return bool(ok), f"mean={un.mean():.3f}"
 
+    def p_prng64():
+        x64 = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        try:
+            u = _force(pallas_prng.uniform_device64(7, (512, 512)))
+            un = np.asarray(u)
+            fine = np.max(np.abs(un - un.astype(np.float32)
+                                 .astype(np.float64)))   # >24-bit content
+            ok = ((un >= 0).all() and (un < 1).all()
+                  and 0.45 < un.mean() < 0.55 and fine > 0)
+            return bool(ok), f"mean={un.mean():.3f} sub-f32-res={fine:.1e}"
+        finally:
+            jax.config.update("jax_enable_x64", x64)
+
     return [("leaf.potf2_f32", p_potf2), ("leaf.trti2_f32", p_trti2),
             ("leaf.lauu2_f32", p_lauu2), ("mega.potrf_vmem_f32", p_mega_potrf),
             ("mega.trtri_vmem_f32", p_mega_trtri), ("gemm.matmul_f32", p_gemm),
             ("syrk.syrk_f32", p_syrk), ("ozaki.matmul_f64", p_ozaki),
-            ("pallas_prng.uniform_device", p_prng)]
+            ("pallas_prng.uniform_device", p_prng),
+            ("pallas_prng.uniform_device64", p_prng64)]
 
 
 def main():
