@@ -656,6 +656,13 @@ def syrk(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
             return _ps.syrk_f32(X, C, alpha=float(alpha), beta=float(beta))
         # upper triangle = transpose of the lower-triangle computation on Cᵀ
         return _ps.syrk_f32(X, C.T, alpha=float(alpha), beta=float(beta)).T
+    t = _fast_tiles_or_none(getattr(A, "dtype", None), backend) \
+        if not isinstance(A, tuple) and _static_scalar(alpha) \
+        and _static_scalar(beta) else None
+    if t is not None:      # f64 on TPU: Ozaki tiles instead of software f64
+        X = A if trans == Trans.NO_TRANS else A.T
+        full = t.mm(X, X, tb="T", alpha=alpha, beta=beta, C=C)
+        return _merge_triangle(full, C, uplo)
     return blas_ref.syrk(uplo, trans, alpha, A, beta, C)
 
 
@@ -692,6 +699,13 @@ def trmm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
             return _trmm_left_f32(M, uplo, _flip_trans(transa),
                                   B.T, alpha).T
         return _trmm_left_f32(M, uplo, transa, B, alpha)
+    t = _fast_tiles_or_none(getattr(A, "dtype", None), backend) \
+        if not isinstance(A, tuple) and _static_scalar(alpha) else None
+    if t is not None:      # f64 on TPU: Ozaki tiles instead of software f64
+        T = blas_ref.op(blas_ref._tri(A, uplo, diag), transa)
+        if side == Side.LEFT:
+            return t.mm(T, B, alpha=alpha)
+        return t.mm(B, T, alpha=alpha)
     return blas_ref.trmm(side, uplo, transa, diag, alpha, A, B)
 
 
