@@ -94,14 +94,40 @@ def tune_syrk(n=4096, quick=False):
     return best, n ** 3 / best_t / 1e12
 
 
+def tune_trmm(n=4096, quick=False):
+    from cholesky_tpu.ops.pallas import trmm as ptrmm
+    L = jnp.tril(jax.random.normal(jax.random.PRNGKey(3), (n, n),
+                                   jnp.float32))
+    B = jax.random.normal(jax.random.PRNGKey(4), (n, n), jnp.float32)
+    grid = [(bn, bm) for bn in (128, 256, 512) for bm in (256, 512, 1024)]
+    if quick:
+        grid = [(256, 512), (512, 512)]
+    best, best_t = None, float("inf")
+    for bn, bm in grid:
+        try:
+            t = _bench_chain(
+                lambda b, bn=bn, bm=bm: ptrmm.trmm_lln_f32(
+                    L, b, bn=bn, bm=bm), B, chain=16)
+        except Exception as e:
+            log(f"  trmm {bn}x{bm}: FAILED {str(e)[:80]}")
+            continue
+        tf = n ** 3 / t / 1e12   # useful flops (triangle)
+        log(f"  trmm {bn}x{bm}: {tf:.1f} TF/s useful")
+        if t < best_t:
+            best, best_t = {"bn": bn, "bm": bm}, t
+    log(f"trmm best: {best} ({n ** 3 / best_t / 1e12:.1f} TF/s useful)")
+    return best, n ** 3 / best_t / 1e12
+
+
 def tune_potrf_leaf(n=4096, quick=False):
     from cholesky_tpu.rng import latmc
     A = latmc(jax.random.PRNGKey(2), n, 50.0, jnp.float32)
     best, best_t = None, float("inf")
-    for leaf in (128, 256) if not quick else (128, 256):
-        import functools
+    # mega-kernel leaves make 256-1024 viable; 4096 recursion measures the
+    # leaf/tile balance directly
+    for leaf in ((256, 512) if quick else (128, 256, 512, 1024)):
         t = bench_op(lambda x, leaf=leaf: blocked.potrf(
-            "L", x, backend="pallas", block_size=leaf)[0], A, chain=4)
+            "L", x, backend="pallas", block_size=leaf)[0], A, chain=32)
         gf = (n ** 3 / 3) / t / 1e9
         log(f"  potrf leaf={leaf}: {gf:.0f} GF/s")
         if t < best_t:
@@ -122,11 +148,14 @@ def main():
     table["matmul_f32"] = mm
     sy, sy_tf = tune_syrk(quick=args.quick)
     table["syrk_f32"] = sy
+    tm, tm_tf = tune_trmm(quick=args.quick)
+    table["trmm_f32"] = tm
     pf, pf_gf = tune_potrf_leaf(quick=args.quick)
     table["potrf_f32"] = pf
     table["_meta"] = {"device_kind": kind,
                       "matmul_tflops": round(mm_tf, 2),
                       "syrk_useful_tflops": round(sy_tf, 2),
+                      "trmm_useful_tflops": round(tm_tf, 2),
                       "potrf_gflops": round(pf_gf, 1)}
 
     path = table_path(kind)
