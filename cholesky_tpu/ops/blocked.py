@@ -191,6 +191,13 @@ class _OzakiTiles(_XlaTiles):
         n = A.shape[0]
         A32 = A.astype(jnp.float32)
         Lh32, info = _pl.potf2_f32(A32)
+        # past a frozen failure the leaf leaves raw (<=0, possibly ~0)
+        # input values on the diagonal; sanitize before the refinement
+        # solves so 1/0 cannot poison the output (break semantics: the
+        # leading info-1 block is exact either way — a lower-triangular
+        # solve's leading entries never touch the garbage rows below)
+        d32 = jnp.diag(Lh32)
+        Lh32 = Lh32 - jnp.diag(d32) + jnp.diag(jnp.where(d32 > 0, d32, 1.0))
         Lh = Lh32.astype(A.dtype)
         # R must be the full SYMMETRIC residual (G = Lₕ⁻¹RLₕ⁻ᵀ uses both
         # triangles); only the lower triangle of A is valid storage
@@ -255,6 +262,14 @@ def _route_complex(A, backend: str) -> bool:
         return True
     return backend == "auto" and config.on_tpu()
 
+
+
+
+def _embed_backend(backend: str) -> str:
+    """Inner (real-plane) backend for the embedding tier: 'embed' selects
+    the embedding itself, so the real ops run on 'auto'; any other
+    explicit backend ('ref'/'xla'/'pallas'/'ozaki') is honored."""
+    return "auto" if backend in ("auto", "embed") else backend
 
 def _tiles_for(dtype, backend: str):
     dtype = jnp.dtype(dtype)
@@ -479,7 +494,7 @@ def potrf(uplo, A, backend: str = "auto", block_size: Optional[int] = None,
     c64 rides the f32 Pallas path, c128 the f64 Ozaki path."""
     if _route_complex(A, backend):
         from cholesky_tpu.ops import complex_embed
-        return complex_embed.potrf_split(uplo, A, backend="auto",
+        return complex_embed.potrf_split(uplo, A, backend=_embed_backend(backend),
                                          block_size=block_size)
     uplo = norm_uplo(uplo)
     n = lapack_ref._square(A, "potrf")
@@ -509,7 +524,8 @@ def potf2(uplo, A, backend: str = "auto", **kw):
     TPU, (re, im) pairs anywhere) go through the embedding driver."""
     if _route_complex(A, backend):
         from cholesky_tpu.ops import complex_embed
-        return complex_embed.potrf_split(uplo, A, backend="auto")
+        return complex_embed.potrf_split(uplo, A,
+                                         backend=_embed_backend(backend))
     u = norm_uplo(uplo)
     n = lapack_ref._square(A, "potf2")
     if (backend in ("auto", "pallas") and A.dtype == jnp.float32
@@ -520,12 +536,35 @@ def potf2(uplo, A, backend: str = "auto", **kw):
     return lapack_ref.potf2(uplo, A)
 
 
+
+def trti2(uplo, diag, A, backend: str = "auto", **kw):
+    """Unblocked triangular inverse of one diagonal block. Complex
+    operands (arrays on TPU, (re, im) pairs anywhere) route through the
+    embedding driver — without this, the typed c/z trti2 entry points
+    would crash on the only TPU-viable operand form."""
+    if _route_complex(A, backend):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.trtri_split(uplo, diag, A,
+                                         backend=_embed_backend(backend))
+    return lapack_ref.trti2(uplo, diag, A)
+
+
+def lauu2(uplo, A, backend: str = "auto", **kw):
+    """Unblocked triangular square of one diagonal block; complex routing
+    as in :func:`trti2`."""
+    if _route_complex(A, backend):
+        from cholesky_tpu.ops import complex_embed
+        return complex_embed.lauum_split(uplo, A,
+                                         backend=_embed_backend(backend))
+    return lapack_ref.lauu2(uplo, A)
+
+
 def trtri(uplo, diag, A, backend: str = "auto",
           block_size: Optional[int] = None):
     """Blocked triangular inverse (reference cuStrtri, strtri.c:369-472)."""
     if _route_complex(A, backend):
         from cholesky_tpu.ops import complex_embed
-        return complex_embed.trtri_split(uplo, diag, A, backend="auto",
+        return complex_embed.trtri_split(uplo, diag, A, backend=_embed_backend(backend),
                                          block_size=block_size)
     uplo = norm_uplo(uplo)
     diag = norm_diag(diag)
@@ -557,7 +596,7 @@ def lauum(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
     """Blocked triangular square (reference cuSlauum, slauum.c:197-305)."""
     if _route_complex(A, backend):
         from cholesky_tpu.ops import complex_embed
-        return complex_embed.lauum_split(uplo, A, backend="auto",
+        return complex_embed.lauum_split(uplo, A, backend=_embed_backend(backend),
                                          block_size=block_size)
     uplo = norm_uplo(uplo)
     n = lapack_ref._square(A, "lauum")
@@ -587,7 +626,8 @@ def logdet(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
     epilogue)."""
     if _route_complex(A, backend):
         from cholesky_tpu.ops import complex_embed
-        return complex_embed.logdet_split(uplo, A, backend="auto",
+        return complex_embed.logdet_split(uplo, A,
+                                          backend=_embed_backend(backend),
                                           block_size=block_size)
     F, info = potrf(uplo, A, backend=backend, block_size=block_size)
     return lapack_ref.logdet_from_factor(F), info
@@ -599,6 +639,22 @@ def logdet(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
 
 def _static_scalar(x) -> bool:
     return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
+def _static_scalar_cx(x) -> bool:
+    """Static scalar for the embedding tier — complex allowed (the
+    reference's c/z BLAS takes complex alpha/beta)."""
+    return isinstance(x, (int, float, complex)) and not isinstance(x, bool)
+
+
+def _check_no_stray_pairs(name, *operands):
+    """Pair operands that did not route to the embedding (e.g. traced
+    alpha) must fail with a clean xerbla-style error, not an
+    AttributeError deep inside the real-dtype drivers."""
+    for X in operands:
+        check(not isinstance(X, tuple), name, 0,
+              "(re, im) pair operands require static Python-number "
+              "alpha/beta so the embedding tier can trace them")
 
 
 def _fast_tiles_or_none(dtype, backend: str):
@@ -624,11 +680,12 @@ def _fast_tiles_or_none(dtype, backend: str):
 
 
 def gemm(transa, transb, alpha, A, B, beta, C, backend: str = "auto"):
-    if _route_complex(A, backend) and _static_scalar(alpha) \
-            and _static_scalar(beta):
+    if _route_complex(A, backend) and _static_scalar_cx(alpha) \
+            and _static_scalar_cx(beta):
         from cholesky_tpu.ops import complex_embed
         return complex_embed.gemm_split(transa, transb, alpha, A, B, beta,
-                                        C, backend="auto")
+                                        C, backend=_embed_backend(backend))
+    _check_no_stray_pairs("gemm", A, B, C)
     transa, transb = norm_trans(transa), norm_trans(transb)
     t = _fast_tiles_or_none(A.dtype, backend) \
         if _static_scalar(alpha) and _static_scalar(beta) else None
@@ -647,6 +704,9 @@ def gemm2(transa, transb, alpha, A, B, beta, C, backend: str = "auto"):
 
 
 def syrk(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
+    check(not isinstance(A, tuple) and not isinstance(C, tuple), "syrk", 4,
+          "complex rank-k update is HERK — the reference implements no "
+          "csyrk/zsyrk (include/blas.h:57-66); use herk/cherk/zherk")
     uplo = norm_uplo(uplo)
     trans = norm_trans(trans)
     if (backend in ("auto", "pallas") and A.dtype == jnp.float32
@@ -671,7 +731,8 @@ def herk(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
             and _static_scalar(beta):
         from cholesky_tpu.ops import complex_embed
         return complex_embed.herk_split(uplo, trans, alpha, A, beta, C,
-                                        backend="auto")
+                                        backend=_embed_backend(backend))
+    _check_no_stray_pairs("herk", A, C)
     if not isinstance(A, tuple) and A.dtype == jnp.float32:
         tr = "N" if norm_trans(trans) == Trans.NO_TRANS else "T"
         return syrk(uplo, tr, alpha, A, beta, C, backend=backend)
@@ -679,10 +740,11 @@ def herk(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
 
 
 def trmm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
-    if _route_complex(A, backend) and _static_scalar(alpha):
+    if _route_complex(A, backend) and _static_scalar_cx(alpha):
         from cholesky_tpu.ops import complex_embed
         return complex_embed.trmm_split(side, uplo, transa, diag, alpha,
-                                        A, B, backend="auto")
+                                        A, B, backend=_embed_backend(backend))
+    _check_no_stray_pairs("trmm", A, B)
     side = norm_side(side)
     uplo = norm_uplo(uplo)
     transa = norm_trans(transa)
@@ -738,11 +800,10 @@ def trsm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto",
     (reference cuStrsm / hybridSpotrf panel substitution)."""
     if _route_complex(A, backend):
         from cholesky_tpu.ops import complex_embed
-        check(_static_scalar(alpha), "trsm", 5,
-              "complex trsm via the embedding needs a static real alpha "
-              "(scale B yourself for complex alpha)")
+        check(_static_scalar_cx(alpha), "trsm", 5,
+              "complex trsm via the embedding needs a static scalar alpha")
         return complex_embed.trsm_split(side, uplo, transa, diag, alpha,
-                                        A, B, backend="auto",
+                                        A, B, backend=_embed_backend(backend),
                                         block_size=block_size)
     side = norm_side(side)
     uplo = norm_uplo(uplo)

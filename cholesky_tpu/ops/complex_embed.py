@@ -72,6 +72,16 @@ def _merge_triangle_planes(rr, ri, ar, ai, uplo):
             jnp.triu(ri) + jnp.tril(ai, -1))
 
 
+def _scale_planes(alpha, rr, ri):
+    """(re, im) planes of alpha·(rr + i·ri) for a static Python scalar
+    (complex allowed — the reference's c/z routines take complex alpha,
+    e.g. cuCgemm include/blas.h:180-190)."""
+    a = complex(alpha)
+    if a.imag == 0.0:
+        return a.real * rr, a.real * ri
+    return a.real * rr - a.imag * ri, a.real * ri + a.imag * rr
+
+
 def _merge(re, im, like):
     if isinstance(like, tuple):
         return re, im
@@ -211,16 +221,27 @@ def gemm_split(transa, transb, alpha, A, B, beta, C, backend: str = "auto"):
     α·E(op A)·E(op B) + β·E(C) — one real GEMM at 2× each dimension on the
     fast real tiles (c64 → f32 Pallas, c128 → f64 Ozaki). This is the TPU
     analog of the reference's split-storage complex kernels
-    (reference blas/cgemm.cu:7-15, zgemm.cu). α, β static real scalars.
-    Operands are complex arrays or (re, im) pairs; the result matches C's
-    form."""
+    (reference blas/cgemm.cu:7-15, zgemm.cu). α, β static scalars —
+    complex allowed (reference cgemm takes complex alpha/beta,
+    include/blas.h:180-190). Operands are complex arrays or (re, im)
+    pairs; the result matches C's form."""
+    al, be = complex(alpha), complex(beta)
     ar, ai = _op_planes(*_split(A), transa)
     br, bi = _op_planes(*_split(B), transb)
     cr, ci = _split(C)
-    out = blocked.gemm("N", "N", alpha, embed(ar, ai), embed(br, bi),
-                       beta, embed(cr, ci), backend=backend)
-    rr, ri = unembed(out)
-    return _merge(rr, ri, C)
+    if al.imag == 0.0 and be.imag == 0.0:
+        out = blocked.gemm("N", "N", al.real, embed(ar, ai), embed(br, bi),
+                           be.real, embed(cr, ci), backend=backend)
+        rr, ri = unembed(out)
+        return _merge(rr, ri, C)
+    # complex scalars: unit-scalar product, then the affine combine in
+    # pair space (α·P + β·C)
+    out = blocked.gemm("N", "N", 1.0, embed(ar, ai), embed(br, bi),
+                       0.0, embed(cr, ci), backend=backend)
+    pr, pi = unembed(out)
+    sr, si = _scale_planes(al, pr, pi)
+    tr_, ti_ = _scale_planes(be, cr, ci)
+    return _merge(sr + tr_, si + ti_, C)
 
 
 def herk_split(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
@@ -234,7 +255,6 @@ def herk_split(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
     t = norm_trans(trans)
     xr, xi = _op_planes(*_split(A), "N" if t == Trans.NO_TRANS else "C")
     cr, ci = _split(C)
-    n = cr.shape[0]
     # Hermitian completion of the selected triangle (reads only it)
     if uplo == Uplo.LOWER:
         hr = jnp.tril(cr) + jnp.tril(cr, -1).T
@@ -248,19 +268,15 @@ def herk_split(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
     rr, ri = unembed(out)
     # exact-real diagonal (herk contract), caller triangle restored
     ri = ri - jnp.diag(jnp.diag(ri))
-    if uplo == Uplo.LOWER:
-        rr = jnp.tril(rr) + jnp.triu(cr, 1)
-        ri = jnp.tril(ri, -1) + jnp.triu(ci, 1)
-    else:
-        rr = jnp.triu(rr) + jnp.tril(cr, -1)
-        ri = jnp.triu(ri, 1) + jnp.tril(ci, -1)
+    rr, ri = _merge_triangle_planes(rr, ri, cr, ci, uplo)
     return _merge(rr, ri, C)
 
 
 def trmm_split(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
     """Complex TRMM via the embedding: mask the triangle (and unit
     diagonal) at the COMPLEX level, then one embedded real GEMM
-    (reference cuCtrmm2/cuZtrmm2, blas/ztrmm.cu). α static real."""
+    (reference cuCtrmm2/cuZtrmm2, blas/ztrmm.cu). α static (complex
+    allowed — scaled in pair space after a unit-scalar product)."""
     from cholesky_tpu.types import Side, Diag, norm_side
     side = norm_side(side)
     uplo = norm_uplo(uplo)
@@ -279,12 +295,12 @@ def trmm_split(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
     ET = embed(tr, ti)
     EB = embed(br, bi)
     if side == Side.LEFT:
-        out = blocked.gemm("N", "N", alpha, ET, EB, 0.0,
+        out = blocked.gemm("N", "N", 1.0, ET, EB, 0.0,
                            jnp.zeros_like(EB), backend=backend)
     else:
-        out = blocked.gemm("N", "N", alpha, EB, ET, 0.0,
+        out = blocked.gemm("N", "N", 1.0, EB, ET, 0.0,
                            jnp.zeros_like(EB), backend=backend)
-    rr, ri = unembed(out)
+    rr, ri = _scale_planes(alpha, *unembed(out))
     return _merge(rr, ri, B)
 
 
@@ -322,8 +338,9 @@ def _trsm_lower_left(ar, ai, br, bi, trans, unit, backend, block_size):
 def trsm_split(side, uplo, transa, diag, alpha, A, B, backend: str = "auto",
                block_size: Optional[int] = None):
     """Complex triangular solve via the embedding. ``A``/``B`` are complex
-    arrays or (re, im) pairs; ``alpha`` must be a real static scalar
-    (complex alpha: scale B yourself first). All side/uplo/trans/diag
+    arrays or (re, im) pairs; ``alpha`` is a static scalar (complex
+    allowed — X is linear in B, so the rhs planes are pre-scaled).
+    All side/uplo/trans/diag
     combinations are canonicalized at the complex level (the raw embedding
     of an upper-triangular complex matrix is not upper triangular, so
     canonicalization must precede embedding)."""
@@ -334,7 +351,7 @@ def trsm_split(side, uplo, transa, diag, alpha, A, B, backend: str = "auto",
     diag = norm_diag(diag)
     ar, ai = _split(A)
     br, bi = _split(B)
-    br, bi = float(alpha) * br, float(alpha) * bi
+    br, bi = _scale_planes(alpha, br, bi)
     t = {Trans.NO_TRANS: "N", Trans.TRANS: "T", Trans.CONJ_TRANS: "C"}[transa]
 
     # side=R → left solve on transposes: X·op(A) = B ⟺ op(A)ᵀXᵀ = Bᵀ

@@ -65,6 +65,11 @@ _mod = sys.modules[__name__]
 __all__ = []
 for _letter in PRECISIONS:
     for _name in _BLAS + _LAPACK:
+        if _name == "syrk" and _letter in ("c", "z"):
+            # the reference implements no csyrk/zsyrk — the complex
+            # rank-k update is HERK (include/blas.h:57-66; blas/ has
+            # only ssyrk/dsyrk + cherk/zherk)
+            continue
         _fn = _make(_letter, _name)
         setattr(_mod, _letter + _name, _fn)
         __all__.append(_letter + _name)

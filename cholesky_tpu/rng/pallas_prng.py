@@ -119,7 +119,10 @@ def uniform_device64(seed: int, shape, interval=Interval.HALF_OPEN_01):
     # int32 → [0, 2³²) exactly, in f64 (no int64 anywhere on this TPU)
     fh = hi.astype(jnp.float64) + jnp.where(hi < 0, 2.0 ** 32, 0.0)
     fl = lo.astype(jnp.float64) + jnp.where(lo < 0, 2.0 ** 32, 0.0)
-    u = (fh * (2.0 ** 32) + fl) * (2.0 ** -64)          # [0, 1)
+    # EXACT 53-bit construction: hi·2²¹ + ⌊lo/2¹¹⌋ ≤ 2⁵³−1 is exactly
+    # representable, so u < 1 strictly — the naive (hi·2³² + lo)·2⁻⁶⁴
+    # can round up to 2⁶⁴ and return exactly 1.0, violating [0, 1)
+    u = (fh * (2.0 ** 21) + jnp.floor(fl * (2.0 ** -11))) * (2.0 ** -53)
     eps = jnp.finfo(jnp.float64).eps
     if interval == Interval.HALF_OPEN_01:
         return u

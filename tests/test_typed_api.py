@@ -11,10 +11,14 @@ from cholesky_tpu.rng import latmc
 
 def test_all_typed_names_exist():
     for letter in "sdcz":
-        for name in ["gemm", "syrk", "trmm", "trmm2", "trsm", "potrf",
+        for name in ["gemm", "trmm", "trmm2", "trsm", "potrf",
                      "potf2", "trtri", "trtri2", "trti2", "lauum", "lauu2",
                      "potri", "logdet"]:
             assert hasattr(ct, letter + name), letter + name
+    # rank-k: syrk for real, herk for complex — exactly the reference's
+    # surface (blas/ has ssyrk/dsyrk + cherk/zherk, no csyrk/zsyrk)
+    assert hasattr(ct, "ssyrk") and hasattr(ct, "dsyrk")
+    assert not hasattr(ct, "csyrk") and not hasattr(ct, "zsyrk")
     assert hasattr(ct, "cherk") and hasattr(ct, "zherk")
 
 
