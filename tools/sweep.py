@@ -154,7 +154,13 @@ def _time(f, x, n, letter):
                     return_out=True)
 
 
-def _tol(dt: DT, fpe, scale):
+def _tol(dt: DT, fpe, scale, n=0):
+    if dt.fudge > 1.0:
+        # Ozaki tiers carry a slice-quantization floor (~2^-42 per
+        # product) that does NOT shrink with the op's flop count — a
+        # low-flop op like lauum (fpe=2n+3) would otherwise get a bound
+        # below the representation floor of the int8-slice arithmetic
+        fpe = max(fpe, 60 * n)
     return fpe * 2.0 * dt.eps * dt.fudge * max(1.0, scale)
 
 
@@ -422,7 +428,7 @@ def main():
                     f"({rec['time_ms']} ms)")
         for rec, holder, t, fpe in oracle_tasks:
             t.join()
-            tol = _tol(dt, fpe, holder["scale"])
+            tol = _tol(dt, fpe, holder["scale"], rec["n"])
             rec["max_err"] = float(f"{holder['err']:.3e}")
             rec["tol"] = float(f"{tol:.3e}")
             rec["passed"] = bool(holder["err"] <= tol and rec["info"] == 0)
