@@ -32,8 +32,12 @@ from cholesky_tpu.utils.benchlib import bench_op
 
 BASELINE_GFLOPS = 175.0
 N = 4096                      # always measured (the reference's headline)
-LADDER = (8192, 16384)        # climbed while the compile budget allows
-LARGE_DEADLINE_S = 420.0
+# LARGEST FIRST: the compilation cache key is not stable across processes
+# on this attachment (every fresh run recompiles), so the ladder must
+# reach 16384 — the headline point — before the budget runs out rather
+# than spending it on 8192 first
+LADDER = (16384, 8192)
+LARGE_DEADLINE_S = 1200.0
 
 
 def log(*a):
@@ -85,8 +89,8 @@ def main():
         return
 
     # larger sizes amortize per-op overheads substantially (measured:
-    # 1.8 TF/s @4096 -> 6.5 @8192 -> 15.4 @16384); climb while the compile
-    # budget allows, keeping the best verified result
+    # 7.0 TF/s @4096 -> 11.7 @8192 -> 17.2 @16384); attempt the largest
+    # while the compile budget allows, keeping the best verified result
     for nl in LADDER if backend == "tpu" else ():
         if time.perf_counter() - start >= LARGE_DEADLINE_S:
             break
