@@ -53,8 +53,12 @@ from cholesky_tpu.ops.pallas import mega as _pm
 
 
 def _mega_ok(n: int) -> bool:
-    """Can the whole-factorization mega-kernels take this block?"""
-    return 0 < n <= _pm.MAX_N and (n <= _pm.NB or n % _pm.NB == 0)
+    """Can the whole-factorization mega-kernels take this block?
+    n ≤ 1024 runs all-in-VMEM; 1024 < n ≤ 2048 streams 128-row panels
+    through VMEM with the matrix in HBM (ops/pallas/mega.py, r3)."""
+    if n <= _pm.MAX_N:
+        return 0 < n and (n <= _pm.NB or n % _pm.NB == 0)
+    return n <= _pm.HBM_MAX_N and n % _pm.NB == 0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -132,21 +136,24 @@ class _PallasTiles:
         return _ps.syrk_f32(A, C, alpha=float(alpha), beta=float(beta))
 
     def potf2(self, A):
-        # whole-block factorization in ONE kernel when it fits in VMEM
-        # (ops/pallas/mega.py, the spotfimm2 analog) — this is what lets
-        # the recursion run 512/1024-wide leaves at one dispatch each
-        if _mega_ok(A.shape[0]):
-            return _pm.potrf_vmem_f32(A)
+        # whole-block factorization in ONE kernel: all-in-VMEM to 1024
+        # (ops/pallas/mega.py, the spotfimm2 analog), HBM-resident with
+        # streamed panels to 2048 — one dispatch either way
+        n = A.shape[0]
+        if _mega_ok(n):
+            if n <= _pm.MAX_N:
+                return _pm.potrf_vmem_f32(A)
+            return _pm.potrf_hbm_f32(A)
         return _pl.potf2_f32(A)
 
     def trti2(self, A, *, unit=False):
         n = A.shape[0]
         if _mega_ok(n):
+            kern = _pm.trtri_vmem_f32 if n <= _pm.MAX_N else _pm.trtri_hbm_f32
             if unit:
-                W, info = _pm.trtri_vmem_f32(
-                    jnp.tril(A, -1) + jnp.eye(n, dtype=A.dtype))
+                W, info = kern(jnp.tril(A, -1) + jnp.eye(n, dtype=A.dtype))
                 return jnp.tril(W, -1) + jnp.diag(jnp.diag(A)), info
-            return _pm.trtri_vmem_f32(A)
+            return kern(A)
         return _pl.trti2_f32(A, unit=unit)
 
     def lauu2(self, A):
@@ -190,7 +197,9 @@ class _OzakiTiles(_XlaTiles):
         from cholesky_tpu.ops.ozaki import matmul_f64
         n = A.shape[0]
         A32 = A.astype(jnp.float32)
-        Lh32, info = _pl.potf2_f32(A32)
+        # mega-aware f32 factor (one kernel dispatch up to n=2048)
+        Lh32, info = _PallasTiles().potf2(A32) if _mega_ok(n) \
+            else _pl.potf2_f32(A32)
         # past a frozen failure the leaf leaves raw (<=0, possibly ~0)
         # input values on the diagonal; sanitize before the refinement
         # solves so 1/0 cannot poison the output (break semantics: the
@@ -217,7 +226,8 @@ class _OzakiTiles(_XlaTiles):
         from cholesky_tpu.ops.ozaki import matmul_f64
         n = A.shape[0]
         A32 = A.astype(jnp.float32)
-        W32, info = _pl.trti2_f32(A32, unit=unit)
+        W32, info = _PallasTiles().trti2(A32, unit=unit) if _mega_ok(n) \
+            else _pl.trti2_f32(A32, unit=unit)
         if unit:
             W32 = jnp.tril(W32, -1) + jnp.eye(n, dtype=jnp.float32)
         W0 = W32.astype(A.dtype)
@@ -506,6 +516,14 @@ def potrf(uplo, A, backend: str = "auto", block_size: Optional[int] = None,
         return A, jnp.int32(0)
     if method == "auto":
         method = "substitute"
+    # whole-matrix fast path: one mega-kernel dispatch beats the blocked
+    # recursion wherever the kernels reach (measured r3: 2.9 TF/s vs
+    # 1.4 TF/s at n=2048, 1.0 vs 0.3 at 1280) — the public-API analog of
+    # the reference calling spotf2-on-GPU for small problems
+    if (method == "substitute" and block_size is None
+            and isinstance(t, _PallasTiles) and _mega_ok(n)):
+        F, info = t.potf2(_to_lower(A, uplo))
+        return _merge_triangle(_from_lower(F, uplo), A, uplo), info
     W = _to_lower(A, uplo)
     Wp, _ = _pad_identity(W, nb)
     if method == "inverse":
@@ -577,9 +595,13 @@ def trtri(uplo, diag, A, backend: str = "auto",
         return A, jnp.int32(0)
     unit = diag == Diag.UNIT
     W = _to_lower(A, uplo)
-    Wp, _ = _pad_identity(W, nb)
-    R, info = _trtri_lower(Wp, t, nb, unit)
-    R = R[:n, :n]
+    # whole-matrix fast path (see potrf): one kernel dispatch
+    if (block_size is None and isinstance(t, _PallasTiles) and _mega_ok(n)):
+        R, info = t.trti2(W, unit=unit)
+    else:
+        Wp, _ = _pad_identity(W, nb)
+        R, info = _trtri_lower(Wp, t, nb, unit)
+        R = R[:n, :n]
     if unit:
         # LAPACK contract: unit-diagonal entries pass through untouched
         R = jnp.tril(R, -1) + jnp.diag(jnp.diag(_to_lower(A, uplo)))

@@ -47,6 +47,8 @@ NB = 128            # panel width = lane width
 GRP = 16            # pivots per mini-sweep group (on-chip sweep over
                     # {8,16,32} at n=1024: 355/340/355 us — 16 wins)
 MAX_N = 1024        # VMEM budget: matrix + panel temps ≈ 10 MB at 1024
+HBM_MAX_N = 2048    # DMA-panel kernels: matrix stays in HBM, only
+                    # 128-row panels stream through VMEM (r3, VERDICT #3)
 
 _HI = dict(preferred_element_type=jnp.float32,
            precision=lax.Precision.HIGHEST)
@@ -241,6 +243,116 @@ def potrf_vmem_f32(A):
     return U.T, info[0, 0]
 
 
+def _potrf_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref, t_ref,
+                      sems, *, n):
+    """Whole-factorization mega-kernel with the matrix in HBM: the VMEM
+    cap (~16 MB on this chip — a 1536² aliased copy already fails to
+    compile) limits the all-in-VMEM kernel to n ≤ 1024, so beyond that
+    only 128-row panels stream through VMEM. LEFT-looking: panel jp is
+    updated by one DMA+matmul per already-factored row block (double-
+    buffered), then factored with the same grouped mini-sweep + Newton
+    panel solve as the VMEM kernel. Trailing rows are never touched —
+    the trailing update cost moves into the k-loop reads, total DMA
+    traffic ≈ n³/(3·NB) elements ≪ MXU time at NB = 128.
+
+    Freeze semantics (reference spotrf.c:112-115): once info ≠ 0, later
+    panels are simply never written back — the aliased HBM buffer keeps
+    the raw input values, exactly the VMEM kernel's frozen state."""
+    npanels = n // NB
+    rows_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 0)
+    cols_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 1)
+    crow_t = lax.broadcasted_iota(jnp.int32, (1, NB), 1)
+    rows_g = lax.broadcasted_iota(jnp.int32, (GRP, 1), 0)
+    eye_t = (rows_t == cols_t).astype(jnp.float32)
+
+    info = jnp.int32(0)
+    for jp in range(npanels):
+        base = jp * NB
+        w = n - base
+        # current panel rows (still raw input: left-looking)
+        pcp = pltpu.make_async_copy(
+            o_ref.at[pl.ds(base, NB), pl.ds(base, w)],
+            panel_ref.at[:, pl.ds(0, w)], sems.at[0])
+        pcp.start()
+        pcp.wait()
+        # subtract every factored row block's contribution, double-buffered
+        started = {}
+        if jp > 0:
+            started[0] = pltpu.make_async_copy(
+                o_ref.at[pl.ds(0, NB), pl.ds(base, w)],
+                ktile_ref.at[0, :, pl.ds(0, w)], sems.at[1])
+            started[0].start()
+        for kb in range(jp):
+            cur = kb % 2
+            started.pop(kb).wait()
+            if kb + 1 < jp:
+                started[kb + 1] = pltpu.make_async_copy(
+                    o_ref.at[pl.ds((kb + 1) * NB, NB), pl.ds(base, w)],
+                    ktile_ref.at[(kb + 1) % 2, :, pl.ds(0, w)],
+                    sems.at[1 + (kb + 1) % 2])
+                started[kb + 1].start()
+            Kt = ktile_ref[cur, :, :w]
+            panel_ref[:, :w] = panel_ref[:, :w] - lax.dot_general(
+                Kt[:, :NB], Kt, _TT, **_HI)
+        # factor the diagonal tile (grouped mini-sweep, freeze-aware)
+        t_ref[:] = panel_ref[:, :NB]
+        info_before = info
+        info = _chol_tile_grouped(t_ref, base, info, rows_t, crow_t, rows_g)
+        Ut = jnp.where(rows_t <= cols_t, t_ref[:], 0.0)
+        panel_ref[:, :NB] = Ut
+        if w > NB:
+            X = _newton_uinv(Ut, rows_t, cols_t, eye_t)
+            P2 = panel_ref[:, NB:w]
+            U2 = lax.dot_general(X, P2, _TT, **_HI)
+            # a failure inside THIS tile discards the solve (unbounded
+            # clamped inverse) but keeps the subtracted panel values —
+            # identical to the VMEM kernel's select
+            panel_ref[:, NB:w] = jnp.where(info == 0, U2, P2)
+
+        # write back only while unfrozen: rows past the first failing
+        # panel keep their raw input values in the aliased HBM buffer
+        @pl.when(info_before == 0)
+        def _():
+            scp = pltpu.make_async_copy(
+                panel_ref.at[:, pl.ds(0, w)],
+                o_ref.at[pl.ds(base, NB), pl.ds(base, w)], sems.at[0])
+            scp.start()
+            scp.wait()
+
+    info_ref[0, 0] = info
+
+
+@jax.jit
+def potrf_hbm_f32(A):
+    """Lower Cholesky for 1024 < n ≤ HBM_MAX_N in ONE kernel, matrix in
+    HBM with streamed 128-row panels; returns (L, info), strict upper
+    zeroed. Only the lower triangle of ``A`` is read. Same contract as
+    :func:`potrf_vmem_f32` (the spotfimm2 analog, reference
+    lapack/spotrf.cu:200-318, whose fusion is grid-wide — this kernel
+    removes the VMEM size cap the round-2 version had)."""
+    n = A.shape[0]
+    assert A.shape == (n, n) and A.dtype == jnp.float32
+    assert n % NB == 0 and n <= HBM_MAX_N, (n, HBM_MAX_N)
+    Afull = jnp.tril(A) + jnp.tril(A, -1).T     # symmetric: upper == lowerᵀ
+    U, info = pl.pallas_call(
+        functools.partial(_potrf_hbm_kernel, n=n),
+        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((NB, n), jnp.float32),
+                        pltpu.VMEM((2, NB, n), jnp.float32),
+                        pltpu.VMEM((NB, NB), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))],
+        input_output_aliases={0: 0},
+        interpret=config.pallas_interpret(),
+    )(Afull)
+    # the upper-form factor U lives in the panel rows; everything below
+    # (frozen raw input past a failure) is masked at the XLA level
+    return jnp.tril(U.T), info[0, 0]
+
+
 def _trtri_vmem_kernel(a_ref, o_ref, info_ref, *, n):
     """V = inverse of the upper-triangular input, built bottom-up in
     static row panels; the wrapper maps the public lower contract onto
@@ -301,6 +413,97 @@ def trtri_vmem_f32(A):
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         input_output_aliases={0: 0},      # invert in place (VMEM budget)
+        interpret=config.pallas_interpret(),
+    )(jnp.tril(A).T)
+    return V.T, info[0, 0]
+
+
+def _trtri_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref, acc_ref,
+                      sems, *, n):
+    """Upper-triangular inverse with the matrix in HBM (the trtri twin of
+    :func:`_potrf_hbm_kernel`): bottom-up row panels, each updated by one
+    DMA + matmul per already-inverted trailing row block (double-
+    buffered), then closed with a Newton tile inverse. In place: rows
+    below the current panel already hold V, the panel row still holds the
+    original matrix — each row is read exactly once before overwrite
+    (same invariant as the VMEM kernel). No freeze: a zero diagonal sets
+    info and is clamped to 1, as in the VMEM kernel / reference xtrtri
+    (lapack/strtri.c:12-40)."""
+    npanels = n // NB
+    rows_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 0)
+    cols_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 1)
+    crow_t = lax.broadcasted_iota(jnp.int32, (1, NB), 1)
+    eye_t = (rows_t == cols_t).astype(jnp.float32)
+
+    info = jnp.int32(0)
+    for jp in range(npanels - 1, -1, -1):
+        base = jp * NB
+        w = n - base
+        m = w - NB                       # trailing width
+        pcp = pltpu.make_async_copy(
+            o_ref.at[pl.ds(base, NB), pl.ds(base, w)],
+            panel_ref.at[:, pl.ds(0, w)], sems.at[0])
+        pcp.start()
+        pcp.wait()
+        T = jnp.where(rows_t <= cols_t, panel_ref[:, :NB], 0.0)
+        T, info = _utri_diag_info(T, base, info, rows_t, cols_t, crow_t, NB)
+        X = _newton_uinv(T, rows_t, cols_t, eye_t)
+        if m > 0:
+            # acc = B · V_trail, accumulated one V row block at a time
+            started = {}
+            k0 = jp + 1
+            started[k0] = pltpu.make_async_copy(
+                o_ref.at[pl.ds(k0 * NB, NB), pl.ds(base + NB, m)],
+                ktile_ref.at[0, :, pl.ds(0, m)], sems.at[1])
+            started[k0].start()
+            acc_ref[:, :m] = jnp.zeros((NB, m), jnp.float32)
+            for kb in range(k0, npanels):
+                cur = (kb - k0) % 2
+                started.pop(kb).wait()
+                if kb + 1 < npanels:
+                    started[kb + 1] = pltpu.make_async_copy(
+                        o_ref.at[pl.ds((kb + 1) * NB, NB),
+                                 pl.ds(base + NB, m)],
+                        ktile_ref.at[(kb - k0 + 1) % 2, :, pl.ds(0, m)],
+                        sems.at[1 + (kb - k0 + 1) % 2])
+                    started[kb + 1].start()
+                Bk = panel_ref[:, kb * NB - base:(kb + 1) * NB - base]
+                acc_ref[:, :m] = acc_ref[:, :m] + lax.dot_general(
+                    Bk, ktile_ref[cur, :, :m], (((1,), (0,)), ((), ())),
+                    **_HI)
+            panel_ref[:, NB:w] = -lax.dot_general(
+                X, acc_ref[:, :m], (((1,), (0,)), ((), ())), **_HI)
+        panel_ref[:, :NB] = X
+        scp = pltpu.make_async_copy(
+            panel_ref.at[:, pl.ds(0, w)],
+            o_ref.at[pl.ds(base, NB), pl.ds(base, w)], sems.at[0])
+        scp.start()
+        scp.wait()
+
+    info_ref[0, 0] = info
+
+
+@jax.jit
+def trtri_hbm_f32(A):
+    """Lower-triangular inverse for 1024 < n ≤ HBM_MAX_N in ONE kernel,
+    matrix in HBM with streamed 128-row panels; returns (W, info), strict
+    upper zeroed. Only the lower triangle of ``A`` is read. Contract of
+    :func:`trtri_vmem_f32` without its VMEM size cap."""
+    n = A.shape[0]
+    assert A.shape == (n, n) and A.dtype == jnp.float32
+    assert n % NB == 0 and n <= HBM_MAX_N, (n, HBM_MAX_N)
+    V, info = pl.pallas_call(
+        functools.partial(_trtri_hbm_kernel, n=n),
+        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((NB, n), jnp.float32),
+                        pltpu.VMEM((2, NB, n), jnp.float32),
+                        pltpu.VMEM((NB, n), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))],
+        input_output_aliases={0: 0},
         interpret=config.pallas_interpret(),
     )(jnp.tril(A).T)
     return V.T, info[0, 0]

@@ -94,7 +94,10 @@ def test_blocked_dispatch_uses_mega():
     assert blocked._mega_ok(512)
     assert blocked._mega_ok(1024)
     assert not blocked._mega_ok(1025)
-    assert not blocked._mega_ok(2048)
+    assert blocked._mega_ok(2048)     # r3: HBM-panel kernel reach
+    assert blocked._mega_ok(1280)
+    assert not blocked._mega_ok(2049)
+    assert not blocked._mega_ok(4096)  # beyond HBM_MAX_N
     assert not blocked._mega_ok(192)  # not a multiple of 128, > 128
 
 
@@ -120,3 +123,73 @@ def test_blocked_trti2_mega_unit(unit):
         Wn = np.tril(Wn, -1) + np.eye(n)
     assert_close(np.tril(Wn), np.tril(ref), jnp.float32, 60 * n,
                  f"trti2 mega unit={unit}")
+
+
+# --------------------------------------------------------------------------
+# HBM-panel mega kernels (r3): matrix in HBM, 128-row panels through VMEM
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [1280, 2048])
+def test_potrf_hbm(n):
+    A = spd(n)
+    L, info = mega.potrf_hbm_f32(A)
+    assert int(info) == 0
+    Ln = np.asarray(L, np.float64)
+    assert np.all(np.triu(Ln, 1) == 0.0)
+    An = np.asarray(A, np.float64)
+    ref = np.linalg.cholesky(np.tril(An) + np.tril(An, -1).T)
+    assert_close(Ln, ref, jnp.float32, 8 * n, f"potrf_hbm n={n}")
+
+
+def test_potrf_hbm_only_lower_read_and_freeze():
+    n = 1280
+    A = np.array(spd(n, cond=10.0))
+    A[np.triu_indices(n, 1)] = np.nan       # upper must never be read
+    A[700, 700] = -3.0                      # failed pivot mid-matrix
+    L, info = mega.potrf_hbm_f32(jnp.asarray(A))
+    assert int(info) == 701
+    Ln = np.asarray(L)
+    assert np.isfinite(Ln).all()
+    # the leading (info-1) block is still the exact factor of A's leading
+    # block (reference break semantics: work before the failure is kept)
+    k = 700
+    ref = np.linalg.cholesky(np.tril(A[:k, :k]).astype(np.float64)
+                             + np.tril(A[:k, :k], -1).astype(np.float64).T)
+    assert_close(np.asarray(Ln[:k, :k], np.float64), ref, jnp.float32,
+                 8 * n, "potrf_hbm frozen leading block")
+
+
+@pytest.mark.parametrize("n", [1280, 2048])
+def test_trtri_hbm(n):
+    F, _ = mega.potrf_hbm_f32(spd(n))     # factor: condition ~sqrt(cond)
+    W, info = mega.trtri_hbm_f32(F)
+    assert int(info) == 0
+    Wn = np.asarray(W, np.float64)
+    assert np.all(np.triu(Wn, 1) == 0.0)
+    Fn = np.tril(np.asarray(F, np.float64))
+    resid = np.max(np.abs(Wn @ Fn - np.eye(n)))
+    assert resid < 60 * n * np.finfo(np.float32).eps, resid
+
+
+def test_trtri_hbm_zero_diag_info():
+    n = 1280
+    A = np.array(np.tril(np.asarray(spd(n))), np.float32)
+    np.fill_diagonal(A, 1.0)
+    A[599, 599] = 0.0
+    W, info = mega.trtri_hbm_f32(jnp.asarray(A))
+    assert int(info) == 600
+    assert np.isfinite(np.asarray(W)).all()
+
+
+def test_public_potrf_routes_hbm_sizes():
+    # public potrf at a 128-multiple in (1024, 2048] must produce correct
+    # results through the direct whole-matrix path (blocked.potrf fast
+    # path -> _PallasTiles.potf2 -> potrf_hbm_f32)
+    n = 1280
+    A = spd(n)
+    F, info = blocked.potrf("L", A, backend="pallas")
+    assert int(info) == 0
+    Fn = np.tril(np.asarray(F, np.float64))
+    An = np.asarray(A, np.float64)
+    ref = np.linalg.cholesky(np.tril(An) + np.tril(An, -1).T)
+    assert_close(Fn, ref, jnp.float32, 8 * n, "public potrf via hbm mega")
