@@ -248,6 +248,31 @@ class _OzakiTiles(_XlaTiles):
         P = matmul_f64(L.T, L, slices=self.slices)
         return jnp.tril(P) + jnp.triu(A, 1)
 
+    def trmm_lln(self, L, B, nb):
+        """Live-block L·B (L exactly lower-triangular) with the int8 slice
+        peel HOISTED: both operands are peeled ONCE and every block matmul
+        indexes the shared representation — the peel is HBM-bound and
+        dominated the per-block-mm formulation (measured 2026-08-17). The
+        f64 answer to the reference's triangle-aware dtrmm
+        (blas/dtrmm.cu:1-1744): only live blocks hit the MXU."""
+        from cholesky_tpu.ops.ozaki import matmul_presplit, split_rows
+        Ls, lsc = split_rows(L, self.slices)             # (S, n, n), (n,)
+        Bs, bsc = split_rows(B.T, self.slices)           # (S, p, n), (p,)
+
+        def rec(i, n):
+            if n <= nb:
+                return matmul_presplit(Ls[:, i:i + n, i:i + n],
+                                       lsc[i:i + n], Bs[:, :, i:i + n], bsc)
+            n1 = _split(n, nb)
+            C1 = rec(i, n1)
+            C2 = rec(i + n1, n - n1)
+            C2 = C2 + matmul_presplit(Ls[:, i + n1:i + n, i:i + n1],
+                                      lsc[i + n1:i + n],
+                                      Bs[:, :, i:i + n1], bsc)
+            return jnp.concatenate([C1, C2], axis=0)
+
+        return rec(0, L.shape[0])
+
 
 def _route_complex(A, backend: str) -> bool:
     """Should this operand go through the real-embedding complex path
@@ -785,17 +810,66 @@ def trmm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
         return _trmm_left_f32(M, uplo, transa, B, alpha)
     t = _fast_tiles_or_none(getattr(A, "dtype", None), backend) \
         if not isinstance(A, tuple) and _static_scalar(alpha) else None
-    if t is not None:      # f64 on TPU: Ozaki tiles instead of software f64
-        T = blas_ref.op(blas_ref._tri(A, uplo, diag), transa)
-        if side == Side.LEFT:
-            return t.mm(T, B, alpha=alpha)
-        return t.mm(B, T, alpha=alpha)
+    if t is not None:
+        # structure-exploiting recursion over the fast tiles (r3,
+        # VERDICT #4): only live blocks of the triangle are multiplied —
+        # ~half the (Ozaki int8 / XLA) matmul work of the former
+        # full-masked-matmul path. The TPU answer to the reference's
+        # per-dtype triangle kernels (blas/dtrmm.cu, ztrmm.cu:73-1005).
+        M = blas_ref._tri(A, uplo, diag)
+        if side == Side.RIGHT:     # B·op(M) = (op(M)ᵀ·Bᵀ)ᵀ, real dtypes
+            return _trmm_left_tiles(t, M, uplo, _flip_trans(transa),
+                                    B.T, alpha).T
+        return _trmm_left_tiles(t, M, uplo, transa, B, alpha)
     return blas_ref.trmm(side, uplo, transa, diag, alpha, A, B)
 
 
 def _flip_trans(transa):
     return (Trans.TRANS if norm_trans(transa) == Trans.NO_TRANS
-            else Trans.NO_TRANS)        # T and C coincide for real f32
+            else Trans.NO_TRANS)        # T and C coincide for real dtypes
+
+
+# leaf width for the live-block trmm recursion over generic tiles: large
+# enough to amortize the Ozaki slice-split per call, small enough that the
+# dead half of the leaf (~nb/2n of the total) stays minor
+TRMM_TILES_NB = 512
+
+
+def _trmm_lln_tiles(L, B, t, nb):
+    """L·B with L an exactly-triangular lower matrix, via live-block
+    recursion over the ``t`` tile backend — the generic-dtype analog of
+    the f32 live-tile Pallas grid (ops/pallas/trmm.py): the dead upper
+    blocks are never multiplied. Backends with a ``trmm_lln`` method
+    (Ozaki: hoists the HBM-bound slice peel out of the recursion) take
+    over the whole triangle."""
+    if hasattr(t, "trmm_lln"):
+        return t.trmm_lln(L, B, nb)
+    n = L.shape[0]
+    if n <= nb:
+        return t.mm(L, B)
+    n1 = _split(n, nb)
+    C1 = _trmm_lln_tiles(L[:n1, :n1], B[:n1], t, nb)
+    C2 = _trmm_lln_tiles(L[n1:, n1:], B[n1:], t, nb)
+    C2 = t.mm(L[n1:, :n1], B[:n1], beta=1.0, C=C2)
+    return jnp.concatenate([C1, C2], axis=0)
+
+
+def _trmm_left_tiles(t, M, uplo, transa, B, alpha, nb: int = None):
+    """op(M)·B over generic tiles; real dtypes only (complex trmm routes
+    through the embedding's own live-block recursion,
+    complex_embed.trmm_split). Upper forms reduce to lower by the same
+    double-reversal identity as :func:`_trmm_left_f32`."""
+    nb = TRMM_TILES_NB if nb is None else nb    # module attr, patchable
+    check(not is_complex(M.dtype), "trmm", 6,
+          "complex trmm must route through the embedding tier")
+    tr = norm_trans(transa)
+    E = M if tr == Trans.NO_TRANS else M.T      # T == C for real dtypes
+    e_lower = (norm_uplo(uplo) == Uplo.LOWER) == (tr == Trans.NO_TRANS)
+    if e_lower:
+        out = _trmm_lln_tiles(E, B, t, nb)
+    else:
+        out = _trmm_lln_tiles(E[::-1, ::-1], B[::-1, :], t, nb)[::-1, :]
+    return out if alpha == 1.0 else alpha * out
 
 
 def _trmm_left_f32(M, uplo, transa, B, alpha):
@@ -835,6 +909,11 @@ def trsm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto",
         else None
     if t is None:
         return blas_ref.trsm(side, uplo, transa, diag, alpha, A, B)
+    # real dtypes only past this point (_route_complex intercepted complex
+    # above): the CONJ_TRANS→NO_TRANS flips below degenerate Cᵀ to plain
+    # transpose, which is WRONG for complex operands — guard the invariant
+    check(not is_complex(A.dtype), "trsm", 6,
+          "complex trsm must route through the embedding tier")
     nb = block_size or t.default_nb
     unit = diag == Diag.UNIT
     # canonicalize: side=R → transposed left solve; upper → lower on Aᵀ

@@ -272,15 +272,50 @@ def herk_split(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
     return _merge(rr, ri, C)
 
 
+# leaf width for the live-block complex trmm recursion (the embedded real
+# GEMM runs at 2n, so a 512 complex leaf is a 1024 real multiply)
+_TRMM_PLANES_NB = 512
+
+
+def _trmm_lln_planes(tr, ti, br, bi, backend, nb=_TRMM_PLANES_NB):
+    """L·B for an exactly-lower-triangular complex L given as planes, via
+    live-block recursion: diagonal blocks recurse, the off-diagonal dense
+    block is ONE embedded real GEMM — the dead upper blocks are never
+    multiplied (~half the embedded-matmul work of a full embedding).
+    The complex-level analog of the f32 live-tile grid (ops/pallas/trmm.py)
+    and the reference's triangle-aware ztrmm (blas/ztrmm.cu:73-1005)."""
+    n = tr.shape[0]
+    if n <= nb:
+        EB = embed(br, bi)
+        out = blocked.gemm("N", "N", 1.0, embed(tr, ti), EB, 0.0,
+                           jnp.zeros_like(EB), backend=backend)
+        return unembed(out)
+    n1 = blocked._split(n, nb)
+    c1r, c1i = _trmm_lln_planes(tr[:n1, :n1], ti[:n1, :n1],
+                                br[:n1], bi[:n1], backend, nb)
+    c2r, c2i = _trmm_lln_planes(tr[n1:, n1:], ti[n1:, n1:],
+                                br[n1:], bi[n1:], backend, nb)
+    out = blocked.gemm("N", "N", 1.0,
+                       embed(tr[n1:, :n1], ti[n1:, :n1]),
+                       embed(br[:n1], bi[:n1]),
+                       1.0, embed(c2r, c2i), backend=backend)
+    c2r, c2i = unembed(out)
+    return (jnp.concatenate([c1r, c2r], axis=0),
+            jnp.concatenate([c1i, c2i], axis=0))
+
+
 def trmm_split(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
     """Complex TRMM via the embedding: mask the triangle (and unit
-    diagonal) at the COMPLEX level, then one embedded real GEMM
-    (reference cuCtrmm2/cuZtrmm2, blas/ztrmm.cu). α static (complex
-    allowed — scaled in pair space after a unit-scalar product)."""
-    from cholesky_tpu.types import Side, Diag, norm_side
+    diagonal) at the COMPLEX level, canonicalize every side/uplo/trans
+    combo onto the (left, lower, no-trans) live-block recursion, and
+    multiply only live blocks through embedded real GEMMs (reference
+    cuCtrmm2/cuZtrmm2, blas/ztrmm.cu:73-1005 — triangle-aware in every
+    dtype). α static (complex allowed — scaled in pair space)."""
+    from cholesky_tpu.types import Side, Trans, norm_side, norm_trans
     side = norm_side(side)
     uplo = norm_uplo(uplo)
     diag = norm_diag(diag)
+    transa = norm_trans(transa)
     ar, ai = _split(A)
     if uplo == Uplo.LOWER:
         tr, ti = jnp.tril(ar), jnp.tril(ai)
@@ -290,17 +325,33 @@ def trmm_split(side, uplo, transa, diag, alpha, A, B, backend: str = "auto"):
         n = tr.shape[0]
         tr = tr - jnp.diag(jnp.diag(tr)) + jnp.eye(n, dtype=tr.dtype)
         ti = ti - jnp.diag(jnp.diag(ti))
-    tr, ti = _op_planes(tr, ti, transa)
     br, bi = _split(B)
-    ET = embed(tr, ti)
-    EB = embed(br, bi)
     if side == Side.LEFT:
-        out = blocked.gemm("N", "N", 1.0, ET, EB, 0.0,
-                           jnp.zeros_like(EB), backend=backend)
+        er, ei = _op_planes(tr, ti, transa)
+        transposed = transa != Trans.NO_TRANS
     else:
-        out = blocked.gemm("N", "N", 1.0, EB, ET, 0.0,
-                           jnp.zeros_like(EB), backend=backend)
-    rr, ri = _scale_planes(alpha, *unembed(out))
+        # B·op(T) = (op(T)ᵀ·Bᵀ)ᵀ with PLAIN transposes (valid over ℂ):
+        # op(T)ᵀ = Tᵀ (N) / T (T) / conj(T) (C)
+        if transa == Trans.NO_TRANS:
+            er, ei = tr.T, ti.T
+            transposed = True
+        elif transa == Trans.TRANS:
+            er, ei = tr, ti
+            transposed = False
+        else:
+            er, ei = tr, -ti
+            transposed = False
+        br, bi = br.T, bi.T
+    e_lower = (uplo == Uplo.LOWER) != transposed
+    if e_lower:
+        rr, ri = _trmm_lln_planes(er, ei, br, bi, backend)
+    else:
+        rr, ri = _trmm_lln_planes(er[::-1, ::-1], ei[::-1, ::-1],
+                                  br[::-1, :], bi[::-1, :], backend)
+        rr, ri = rr[::-1, :], ri[::-1, :]
+    if side == Side.RIGHT:
+        rr, ri = rr.T, ri.T
+    rr, ri = _scale_planes(alpha, rr, ri)
     return _merge(rr, ri, B)
 
 

@@ -69,6 +69,13 @@ def _split_rows(A, slices: int):
     xl = (A - xh.astype(A.dtype)).astype(jnp.float32)  # exact residual
     rh = xh * inv                            # power-of-two scaling: exact
     rl = xl * inv
+    from cholesky_tpu import config
+    if config.on_tpu():
+        # fused VMEM peel: the XLA loop below round-trips (rh, rl)
+        # through HBM once per slice and dominated the whole matmul
+        # (ops/pallas/ozaki_split.py)
+        from cholesky_tpu.ops.pallas.ozaki_split import peel_f32pair
+        return peel_f32pair(rh, rl, slices=slices), 2.0 * scale[:, 0]
     outs = []
     for _ in range(slices):
         q = jnp.round(rh * _RADIX)           # native f32 round, |q| ≤ 64+1
@@ -85,6 +92,53 @@ def _matmul_int8(a, b):
     """(m,k) int8 · (k,n) int8 → int32, exact on the MXU."""
     return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.int32)
+
+
+def split_rows(A, slices: int):
+    """Public pre-split entry: peel ``A`` (f64) into int8 row slices once,
+    so callers with block structure (live-block TRMM, blocked drivers) can
+    hoist the HBM-bound peel out of their per-block matmuls and feed
+    sub-blocks of the SAME representation to :func:`matmul_presplit` —
+    restriction of a peeled representation to any sub-block stays an exact
+    peel (the scale is per full row, only loosening the dropped-pair bound
+    by rowmax/blockmax)."""
+    return _split_rows(A, slices)
+
+
+def matmul_presplit(As, ascale, Bs, bscale, out_dtype=jnp.float64):
+    """C ≈ A·B from pre-peeled operands: ``As (S,m,k)`` int8 + row scales
+    ``(m,)`` from ``split_rows(A)``; ``Bs (S,n,k)`` int8 + column scales
+    ``(n,)`` from ``split_rows(B.T)``.  Same arithmetic and error bound as
+    :func:`matmul_f64`; the peel cost is the caller's, paid once."""
+    S, m, k = As.shape
+    S2, n, k2 = Bs.shape
+    assert S == S2 and k == k2, (As.shape, Bs.shape)
+    if k > K_EXACT_MAX:
+        # chunk the contraction axis: each chunk keeps the int32
+        # no-overflow invariant; f64 partial sums are linear in the final
+        # row/column scaling, so scaling inside each chunk is exact
+        nchunks = -(-k // K_EXACT_MAX)
+        step = -(-k // nchunks)
+        acc = jnp.zeros((m, n), out_dtype)
+        for c in range(0, k, step):
+            w = min(step, k - c)
+            acc = acc + matmul_presplit(As[:, :, c:c + w], ascale,
+                                        Bs[:, :, c:c + w], bscale,
+                                        out_dtype=out_dtype)
+        return acc
+    acc = jnp.zeros((m, n), out_dtype)
+    for g in range(S):                       # weight group: s + t == g
+        G = None
+        for s in range(g + 1):
+            P = _matmul_int8(As[s], Bs[g - s].T)         # exact int32
+            G = P if G is None else G + P                # exact int32 sum
+        # int32 → f64 may route through f32 on this backend (exact only to
+        # 2^24); split into 12-bit halves so each converts exactly
+        Ghi = G // 4096
+        Glo = G - Ghi * 4096
+        Gf = Ghi.astype(out_dtype) * 4096.0 + Glo.astype(out_dtype)
+        acc = acc + Gf * (2.0 ** (-SLICE_BITS * (g + 2)))
+    return acc * ascale[:, None] * bscale[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("slices",))
@@ -113,17 +167,4 @@ def matmul_f64(A, B, *, slices: int = 4):
 
     As, ascale = _split_rows(A, slices)                  # (S, m, k), (m,)
     Bs, bscale = _split_rows(B.T, slices)                # (S, n, k), (n,)
-
-    acc = jnp.zeros((m, n), A.dtype)
-    for g in range(slices):                  # weight group: s + t == g
-        G = None
-        for s in range(g + 1):
-            P = _matmul_int8(As[s], Bs[g - s].T)         # exact int32
-            G = P if G is None else G + P                # exact int32 sum
-        # int32 → f64 may route through f32 on this backend (exact only to
-        # 2^24); split into 12-bit halves so each converts exactly
-        Ghi = G // 4096
-        Glo = G - Ghi * 4096
-        Gf = Ghi.astype(A.dtype) * 4096.0 + Glo.astype(A.dtype)
-        acc = acc + Gf * (2.0 ** (-SLICE_BITS * (g + 2)))
-    return acc * ascale[:, None] * bscale[None, :]
+    return matmul_presplit(As, ascale, Bs, bscale, out_dtype=A.dtype)

@@ -28,9 +28,23 @@ from cholesky_tpu.rng.generators import Interval, uniform as _threefry_uniform
 _ROWS_PER_BLOCK = 256
 
 
+def _mix_seeds(seed, n: int, salt: int = 0):
+    """n decorrelated per-block seeds from (seed, block index, salt) via a
+    splitmix32-style finalizer. The former additive scheme (seed + i) made
+    chunk i of seed s identical to chunk i-1 of seed s+1 — fills from
+    adjacent base seeds shared whole row blocks (ADVICE r2). The hash
+    makes distinct (seed, i, salt) triples land on unrelated streams."""
+    z = (jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(salt)) \
+        + (1 + jnp.arange(n, dtype=jnp.uint32)) * jnp.uint32(0x9E3779B9)
+    z = (z ^ (z >> 16)) * jnp.uint32(0x7FEB352D)
+    z = (z ^ (z >> 15)) * jnp.uint32(0x846CA68B)
+    z = z ^ (z >> 16)
+    return jax.lax.bitcast_convert_type(z, jnp.int32)
+
+
 def _fill_kernel(seed_ref, o_ref):
-    # decorrelate grid blocks: per-block seed = base seed + block index
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # decorrelate grid blocks: per-block seed hashed host-side (_mix_seeds)
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
     # prng_random_bits yields int32 on this toolchain — bitcast to uint32
     # before shifting, or the arithmetic shift smears the sign bit into the
     # exponent (NaNs)
@@ -60,7 +74,7 @@ def uniform_device(seed: int, shape, interval=Interval.HALF_OPEN_01):
         out_specs=pl.BlockSpec((rp, cols_p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_p, cols_p), jnp.float32),
-    )(jnp.asarray([seed], jnp.int32))
+    )(_mix_seeds(seed, rows_p // rp))
     u = u[:rows, :cols]
     eps = jnp.finfo(jnp.float32).eps
     if interval == Interval.HALF_OPEN_01:
@@ -94,6 +108,11 @@ def uniform_device64(seed: int, shape, interval=Interval.HALF_OPEN_01):
     combine u = (hi·2³² + lo) ∈ [0, 2⁶⁴) scaled by 2⁻⁶⁴ runs in XLA's
     emulated f64 outside the kernel (Mosaic has no int64/f64). Requires
     x64 mode. Off-TPU falls back to threefry with the same contract."""
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "uniform_device64 requires x64 mode (jax_enable_x64): without "
+            "it the f64 combine silently degrades to f32 and the 53-bit "
+            "construction can round to exactly 1.0, violating [0, 1)")
     interval = Interval(interval)
     if config.pallas_interpret():
         return _threefry_uniform(jax.random.PRNGKey(seed), shape,
@@ -111,8 +130,10 @@ def uniform_device64(seed: int, shape, interval=Interval.HALF_OPEN_01):
                    jax.ShapeDtypeStruct((rp, cols_p), jnp.int32)),
     )
     # one grid-free kernel per row chunk (see _fill_kernel64 docstring),
-    # seeds decorrelated per chunk
-    his, los = zip(*(call(jnp.asarray([seed + (1 << 20) + i], jnp.int32))
+    # chunk seeds hashed (salt separates the 64-bit family from the f32
+    # fills of uniform_device)
+    seeds = _mix_seeds(seed, rows_p // rp, salt=0x64646464)
+    his, los = zip(*(call(seeds[i:i + 1])
                      for i in range(rows_p // rp)))
     hi = jnp.concatenate(his, axis=0)[:rows, :cols]
     lo = jnp.concatenate(los, axis=0)[:rows, :cols]

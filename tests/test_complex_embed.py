@@ -80,7 +80,8 @@ def test_trtri_split(dtype):
                  "trtri_split")
 
 
-@pytest.mark.parametrize("dtype", [jnp.complex64, jnp.complex128])
+@pytest.mark.parametrize("dtype", [jnp.complex64,
+                                   pytest.param(jnp.complex128, marks=pytest.mark.slow)])
 def test_potri_logdet_split(dtype):
     A = hpd(dtype, seed=5, cond=20.0)
     F, _ = ce.potrf_split("L", A, backend="xla", block_size=32)

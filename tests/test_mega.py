@@ -129,7 +129,7 @@ def test_blocked_trti2_mega_unit(unit):
 # HBM-panel mega kernels (r3): matrix in HBM, 128-row panels through VMEM
 # --------------------------------------------------------------------------
 
-@pytest.mark.parametrize("n", [1280, 2048])
+@pytest.mark.parametrize("n", [1280, pytest.param(2048, marks=pytest.mark.slow)])
 def test_potrf_hbm(n):
     A = spd(n)
     L, info = mega.potrf_hbm_f32(A)
@@ -159,7 +159,7 @@ def test_potrf_hbm_only_lower_read_and_freeze():
                  8 * n, "potrf_hbm frozen leading block")
 
 
-@pytest.mark.parametrize("n", [1280, 2048])
+@pytest.mark.parametrize("n", [1280, pytest.param(2048, marks=pytest.mark.slow)])
 def test_trtri_hbm(n):
     F, _ = mega.potrf_hbm_f32(spd(n))     # factor: condition ~sqrt(cond)
     W, info = mega.trtri_hbm_f32(F)

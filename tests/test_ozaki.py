@@ -133,3 +133,26 @@ def test_dgemm_ozaki_backend():
     out = blocked.gemm("N", "N", 0.5, A, B, -1.0, C, backend="ozaki")
     ref = 0.5 * np.asarray(A) @ np.asarray(B) - np.asarray(C)
     assert np.max(np.abs(np.asarray(out) - ref)) < 1e-9
+
+
+@pytest.mark.parametrize("side", ["L", "R"])
+@pytest.mark.parametrize("uplo", ["L", "U"])
+@pytest.mark.parametrize("transa", ["N", "T"])
+@pytest.mark.parametrize("diag", ["N", "U"])
+def test_dtrmm_ozaki_live_blocks(side, uplo, transa, diag, monkeypatch):
+    """f64 trmm over the live-block tile recursion (VERDICT r2 #4): force
+    a small leaf so the recursion actually splits, all 16 real combos."""
+    monkeypatch.setattr(blocked, "TRMM_TILES_NB", 64)
+    n = 200
+    r = np.random.RandomState(hash((side, uplo, transa, diag)) % 2**31)
+    A = jnp.asarray(r.randn(n, n))
+    B = jnp.asarray(r.randn(n, 24) if side == "L" else r.randn(24, n))
+    out = blocked.trmm(side, uplo, transa, diag, 0.5, A, B, backend="ozaki")
+    T = np.tril(np.asarray(A)) if uplo == "L" else np.triu(np.asarray(A))
+    if diag == "U":
+        np.fill_diagonal(T, 1.0)
+    if transa == "T":
+        T = T.T
+    ref = 0.5 * (T @ np.asarray(B) if side == "L" else np.asarray(B) @ T)
+    scaled = np.max(np.abs(np.asarray(out) - ref)) / np.max(np.abs(ref))
+    assert scaled < 1e-8, scaled

@@ -48,7 +48,9 @@ def test_distribute_layout_cyclic(mesh):
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64, jnp.complex64])
-@pytest.mark.parametrize("n,nb", [(256, 16), (200, 16), (333, 32)])
+@pytest.mark.parametrize("n,nb", [pytest.param(256, 16, marks=pytest.mark.slow),
+                                  pytest.param(200, 16, marks=pytest.mark.slow),
+                                  (333, 32)])
 def test_potrf_dist(mesh, dtype, n, nb):
     A = spd(n, dtype, seed=1)
     F, info = dpotrf.potrf_sharded("L", A, mesh, nb=nb)
@@ -88,7 +90,7 @@ def test_potrf_dist_matches_single_chip(mesh):
                  jnp.float32, 16 * 256, "dist vs single")
 
 
-@pytest.mark.parametrize("n", [256, 300])
+@pytest.mark.parametrize("n", [256, pytest.param(300, marks=pytest.mark.slow)])
 def test_logdet_dist(mesh, n):
     A = spd(n, cond=20.0, seed=5)
     val, info = dpotrf.logdet_sharded("L", A, mesh, nb=32)
@@ -113,7 +115,7 @@ def test_potrf_dist_under_jit(mesh):
                  "potrf_dist jit")
 
 
-@pytest.mark.parametrize("phases", [1, 3, 4])
+@pytest.mark.parametrize("phases", [1, 3, pytest.param(4, marks=pytest.mark.slow)])
 def test_potrf_dist_phases_agree(mesh, phases):
     # the K-phase shrinking-width trailing update must be numerically
     # IDENTICAL work partitioning — results agree to f32 roundoff across K
@@ -125,6 +127,7 @@ def test_potrf_dist_phases_agree(mesh, phases):
                  f"potrf_dist phases={phases}")
 
 
+@pytest.mark.slow   # Ozaki-interpret leaves: heaviest single test
 def test_potrf_dist_fast_f64_tiles(mesh):
     # tiles='fast' forces the Ozaki leaves even on the CPU mesh (VERDICT
     # r1 Next #5: the dist tier must run the same kernels as the

@@ -93,7 +93,7 @@ def test_herk_dist(mesh, uplo, trans, n):
 @pytest.mark.parametrize("uplo", ["L", "U"])
 @pytest.mark.parametrize("trans", ["N", "T"])
 @pytest.mark.parametrize("diag", ["N", "U"])
-@pytest.mark.parametrize("n", [200, 333])
+@pytest.mark.parametrize("n", [200, pytest.param(333, marks=pytest.mark.slow)])
 def test_trsm_dist_general(mesh, side, uplo, trans, diag, n):
     # reference cuMultiGPUStrsm family (include/blas.h:338-362): general
     # sharded B, all side/uplo/trans/diag combos, incl. n % p != 0

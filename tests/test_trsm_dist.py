@@ -18,7 +18,8 @@ def mesh():
     return Mesh(np.array(jax.devices()), ("d",))
 
 
-@pytest.mark.parametrize("n,nb,nrhs", [(256, 16, 4), (200, 16, 1)])
+@pytest.mark.parametrize("n,nb,nrhs", [pytest.param(256, 16, 4, marks=pytest.mark.slow),
+                                       (200, 16, 1)])
 def test_solve_through_factor(mesh, n, nb, nrhs):
     A = generators.latmc(jax.random.PRNGKey(0), n, 40.0, jnp.float32)
     b = jax.random.normal(jax.random.PRNGKey(1), (n, nrhs), jnp.float32)

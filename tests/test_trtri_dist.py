@@ -54,7 +54,8 @@ def test_lauum_dist(mesh, n, nb):
     assert_close(got, ref, jnp.float32, 2 * n + 3, "lauum_dist")
 
 
-@pytest.mark.parametrize("n,nb", [(256, 32), (160, 16)])
+@pytest.mark.parametrize("n,nb", [(256, 32),
+                                  pytest.param(160, 16, marks=pytest.mark.slow)])
 def test_potri_dist_roundtrip(mesh, n, nb):
     A = latmc(jax.random.PRNGKey(3), n, 30.0, jnp.float32)
     bc = blockcyclic.distribute(A, mesh, nb=nb)
@@ -70,6 +71,7 @@ def test_potri_dist_roundtrip(mesh, n, nb):
     assert_close(Inv, np.tril(ref), jnp.float32, 3000 * n, "potri_dist")
 
 
+@pytest.mark.slow   # thin wrapper over potri_dist, covered above
 def test_potri_sharded_convenience(mesh):
     from cholesky_tpu.ops import blocked
     A = latmc(jax.random.PRNGKey(4), 192, 20.0, jnp.float32)
