@@ -23,6 +23,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from cholesky_tpu.utils import vma
 from cholesky_tpu import config
 from cholesky_tpu.models.gp import GPParams, _kmatrix, _sqdist
 from cholesky_tpu.parallel import blockcyclic
@@ -87,7 +88,7 @@ def make_gp_train_step(mesh: Mesh, n_train: int, n_features: int,
         factor_solve, mesh=mesh,
         in_specs=(P("dp", "mp", None, None), P("dp", None, None)),
         out_specs=(P("dp", None, None), P("dp"), P("dp")),
-        check_vma=False)
+        check_vma=vma.checker_on())
 
     def step(params: GPParams, X, y, probes):
         B, n, _ = X.shape

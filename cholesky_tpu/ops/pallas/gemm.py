@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
+from cholesky_tpu.utils.vma import out_struct
 
 # Default block shapes; overridden by the tuning table (tuning/table.py),
 # the analog of the reference's build-time autotuned config.h.
@@ -100,7 +101,7 @@ def matmul_f32(A, B, C=None, *, alpha: float = 1.0, beta: float = 0.0,
             pl.BlockSpec((bm_, bn_), lambda i, j, kk: (i, j)),
         ],
         out_specs=pl.BlockSpec((bm_, bn_), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        out_shape=out_struct((mp, np_), jnp.float32, Ap, Bp, Cp),
         scratch_shapes=[pltpu.VMEM((bm_, bn_), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),

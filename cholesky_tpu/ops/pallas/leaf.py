@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
+from cholesky_tpu.utils.vma import out_struct
 
 LEAF_N = 128  # default diagonal-block size (the reference's nb=64 analog)
 
@@ -150,8 +151,8 @@ def potf2_f32(A):
         f"potf2_f32 leaf size {n} must be <= {PANEL} or a multiple of it"
     L, info = pl.pallas_call(
         functools.partial(_potf2_kernel, n=n),
-        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        out_shape=(out_struct((n, n), jnp.float32, A),
+                   out_struct((1, 1), jnp.int32, A)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -270,8 +271,8 @@ def trti2_f32(A, *, unit: bool = False):
         else functools.partial(_trti2_kernel, n=n)
     T, info = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        out_shape=(out_struct((n, n), jnp.float32, A),
+                   out_struct((1, 1), jnp.int32, A)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -299,7 +300,7 @@ def lauu2_f32(A):
     assert A.shape == (n, n) and A.dtype == jnp.float32
     return pl.pallas_call(
         functools.partial(_lauu2_kernel, n=n),
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        out_shape=out_struct((n, n), jnp.float32, A),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=config.pallas_interpret(),

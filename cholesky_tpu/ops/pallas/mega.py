@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
+from cholesky_tpu.utils.vma import out_struct
 
 NB = 128            # panel width = lane width
 GRP = 16            # pivots per mini-sweep group (on-chip sweep over
@@ -230,8 +231,8 @@ def potrf_vmem_f32(A):
     Afull = jnp.tril(A) + jnp.tril(A, -1).T
     U, info = pl.pallas_call(
         functools.partial(_potrf_vmem_kernel, n=n),
-        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        out_shape=(out_struct((n, n), jnp.float32, A),
+                   out_struct((1, 1), jnp.int32, A)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -336,8 +337,8 @@ def potrf_hbm_f32(A):
     Afull = jnp.tril(A) + jnp.tril(A, -1).T     # symmetric: upper == lowerᵀ
     U, info = pl.pallas_call(
         functools.partial(_potrf_hbm_kernel, n=n),
-        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        out_shape=(out_struct((n, n), jnp.float32, A),
+                   out_struct((1, 1), jnp.int32, A)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -407,8 +408,8 @@ def trtri_vmem_f32(A):
     assert n <= NB or n % NB == 0
     V, info = pl.pallas_call(
         functools.partial(_trtri_vmem_kernel, n=n),
-        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        out_shape=(out_struct((n, n), jnp.float32, A),
+                   out_struct((1, 1), jnp.int32, A)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -494,8 +495,8 @@ def trtri_hbm_f32(A):
     assert n % NB == 0 and n <= HBM_MAX_N, (n, HBM_MAX_N)
     V, info = pl.pallas_call(
         functools.partial(_trtri_hbm_kernel, n=n),
-        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        out_shape=(out_struct((n, n), jnp.float32, A),
+                   out_struct((1, 1), jnp.int32, A)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),

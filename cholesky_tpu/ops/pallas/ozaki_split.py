@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import functools
 
+from cholesky_tpu.utils.vma import out_struct
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -66,7 +68,7 @@ def peel_f32pair(rh, rl, *, slices: int):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((slices, rb, kp), jnp.int8),
+        out_shape=out_struct((slices, rb, kp), jnp.int8, rh, rl),
     )
     outs = [call(rh[r:r + rb], rl[r:r + rb]) for r in range(0, mp, rb)]
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
+from cholesky_tpu.utils.vma import out_struct
 
 DEFAULT_BN, DEFAULT_BK = 256, 512
 
@@ -106,7 +107,7 @@ def syrk_f32(A, C, *, alpha: float = 1.0, beta: float = 1.0,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((np_, np_), jnp.float32),
+        out_shape=out_struct((np_, np_), jnp.float32, Ap, Cp),
         # alias C (input 4 counting the two scalar-prefetch operands) into
         # the output so grid-uncovered (strict upper) blocks keep C's values
         input_output_aliases={4: 0},

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
+from cholesky_tpu.utils.vma import out_struct
 
 DEFAULT_BN, DEFAULT_BM = 256, 512
 
@@ -99,7 +100,7 @@ def trmm_lln_f32(L, B, *, alpha: float = 1.0, bn: int = None, bm: int = None):
     out = pl.pallas_call(
         functools.partial(_trmm_kernel, alpha=float(alpha)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+        out_shape=out_struct((np_, mp), jnp.float32, Lp, Bp),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(

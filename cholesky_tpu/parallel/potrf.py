@@ -41,6 +41,7 @@ from cholesky_tpu import config
 from cholesky_tpu.ops import lapack_ref
 from cholesky_tpu.parallel.blockcyclic import BlockCyclic, collect, distribute
 from cholesky_tpu.types import Uplo, norm_uplo, is_complex, real_dtype
+from cholesky_tpu.utils import vma
 
 
 def _conj(x):
@@ -68,7 +69,7 @@ def _dist_tiles(dtype, nb: int, tiles: str):
 
 
 def _potrf_dist_body(local, *, nblk, nb, npad, axis, dtype, tiles="auto",
-                     phases=4):
+                     phases=4, lookahead=True):
     """shard_map body: local is (nlocal, nb, npad) on each device."""
     p = lax.axis_size(axis)
     me = lax.axis_index(axis)
@@ -77,33 +78,39 @@ def _potrf_dist_body(local, *, nblk, nb, npad, axis, dtype, tiles="auto",
     gmask = g[:, None, None]
     t = _dist_tiles(dtype, nb, tiles)
 
+    def factor_diag(diag):
+        """nb×nb leaf: L = chol(diag), T = L⁻¹, info (both tril)."""
+        if t is None:
+            Ljj, linfo = lapack_ref.potf2(Uplo.LOWER, diag)
+            Ljj = jnp.tril(Ljj)
+            Tjj, _ = lapack_ref.trti2(Uplo.LOWER, "N", Ljj)
+        else:     # fast leaves: f32 mega kernel / f64 Ozaki refinement
+            Ljj, linfo = t.potf2(diag)
+            Ljj = jnp.tril(Ljj)
+            Tjj, _ = t.trti2(Ljj)
+        return Ljj, jnp.tril(Tjj), linfo
+
+    def psum_diag(local, j):
+        """Broadcast block (j,j) from its owner (clamped slice past the
+        last block — callers never use that value)."""
+        dl = lax.dynamic_slice(local, (j // p, 0, j * nb), (1, nb, nb))[0]
+        return lax.psum(jnp.where(me == j % p, dl, jnp.zeros_like(dl)), axis)
+
     def make_step(off: int, width: int):
         """One factorization step specialized on the static live window
         [off, off+width) of the trailing columns."""
 
         def step(j, carry):
-            local, info = carry
+            local, info, Ljj, Tjj, linfo = carry
             # the reference's multiGPU host loop STOPS at the first failed
             # pivot (spotrf.c:400-468 checks info and breaks); the traced
             # equivalent freezes all writes once info != 0 — without this,
             # ~100 steps of clamped-pivot inverses compound to f32 overflow
             frozen = info > 0
-            local_in = local
-            owner = j % p
-            lloc = j // p
-            # --- diagonal block: owner's slab row lloc, cols j·nb.. ---
-            dl = lax.dynamic_slice(local, (lloc, 0, j * nb), (1, nb, nb))[0]
-            diag = lax.psum(jnp.where(me == owner, dl,
-                                      jnp.zeros_like(dl)), axis)
-            if t is None:
-                Ljj, linfo = lapack_ref.potf2(Uplo.LOWER, diag)
-                Ljj = jnp.tril(Ljj)
-                Tjj, _ = lapack_ref.trti2(Uplo.LOWER, "N", Ljj)
-            else:     # fast leaves: f32 mega kernel / f64 Ozaki refinement
-                Ljj, linfo = t.potf2(diag)
-                Ljj = jnp.tril(Ljj)
-                Tjj, _ = t.trti2(Ljj)
-            Tjj = jnp.tril(Tjj)
+            carry_in = carry
+            if not lookahead:
+                # --- diagonal block: psum from owner, factor on arrival ---
+                Ljj, Tjj, linfo = factor_diag(psum_diag(local, j))
             # failure in THIS step: the reference stops mid-step — the
             # failing diagonal block keeps its (clamped) partial factor,
             # but the panel solve and trailing update do not run (the
@@ -132,6 +139,34 @@ def _potrf_dist_body(local, *, nblk, nb, npad, axis, dtype, tiles="auto",
             gathered = lax.all_gather(contrib, axis)    # (p, nlocal, nb, nb)
             panel = gathered.transpose(1, 0, 2, 3).reshape(npad, nb)
             panel_w = panel[off:off + width]            # static live window
+            if lookahead:
+                # --- lookahead (the ICI-era version of the reference's
+                # stream overlap, spotrf.c:311-313 / hybridSpotrf :207-259):
+                # step j+1's diagonal = A[j+1,j+1]_pre − P·Pᴴ with P = the
+                # OWNER's local panel block for row j+1, folded into one
+                # psum — so the chain (nb×nb matmul + psum + factor) uses
+                # only pre-gather local data: it is independent of both the
+                # all_gather above and the big trailing GEMM below, the
+                # scheduler can overlap all three, and the psum proves the
+                # carry invariant over the mesh axis (check_vma-clean).
+                # Step j+1 then starts its panel solve factor-in-hand.
+                lloc_n = (j + 1) // p
+                dl_n = lax.dynamic_slice(local, (lloc_n, 0, (j + 1) * nb),
+                                         (1, nb, nb))[0]
+                Pn = lax.dynamic_slice(contrib, (lloc_n, 0, 0),
+                                       (1, nb, nb))[0]
+                if t is None:
+                    upd_n = jnp.matmul(Pn, _conj(Pn).T,
+                                       precision=config.matmul_precision)
+                else:
+                    upd_n = t.mm(Pn, Pn, tb="C")
+                dn = lax.psum(
+                    jnp.where(me == (j + 1) % p,
+                              dl_n - upd_n.astype(dtype),
+                              jnp.zeros_like(dl_n)), axis)
+                Lnx, Tnx, linx = factor_diag(dn)
+            else:
+                Lnx, Tnx, linx = Ljj, Tjj, linfo
             # --- trailing update on the live window of my row blocks:
             #     A[i, off:] -= L[i,j] · panel_wᴴ  (cols ≤ j·nb are zero) ---
             contrib2 = contrib.reshape(nlocal * nb, nb)
@@ -144,7 +179,9 @@ def _potrf_dist_body(local, *, nblk, nb, npad, axis, dtype, tiles="auto",
             W = local[:, :, off:off + width]
             Wnew = jnp.where(gmask > j, W - upd.astype(dtype), W)
             local = lax.dynamic_update_slice(local, Wnew, (0, 0, off))
-            return jnp.where(frozen, local_in, local), info
+            out = (local, info, Lnx, Tnx, linx)
+            return jax.tree.map(lambda a, b: jnp.where(frozen, a, b),
+                                carry_in, out)
 
         return step
 
@@ -154,6 +191,11 @@ def _potrf_dist_body(local, *, nblk, nb, npad, axis, dtype, tiles="auto",
     # outer batch axes the caller sharded `local` on).
     info0 = (lax.psum(local[0, 0, 0].real, axis) * 0).astype(jnp.int32)
     info = info0
+    # lookahead prologue: factor block (0,0) once, outside the loop
+    L0, T0, li0 = factor_diag(psum_diag(local, 0))
+    if not lookahead:      # keep the carry signature; values recomputed
+        L0, T0, li0 = jnp.zeros_like(L0), jnp.zeros_like(T0), li0 * 0
+    carry = (local, info, L0, T0, li0)
     # K-phase shrinking width: phase k runs steps [bounds[k], bounds[k+1])
     # over the static window [bounds[k]·nb, npad)
     K = max(1, min(phases, nblk))
@@ -163,12 +205,12 @@ def _potrf_dist_body(local, *, nblk, nb, npad, axis, dtype, tiles="auto",
         if j0 == j1:
             continue
         off = j0 * nb
-        local, info = lax.fori_loop(j0, j1, make_step(off, npad - off),
-                                    (local, info))
-    return local, info
+        carry = lax.fori_loop(j0, j1, make_step(off, npad - off), carry)
+    return carry[0], carry[1]
 
 
-def potrf_dist(bc: BlockCyclic, tiles: str = "auto", phases: int = 4):
+def potrf_dist(bc: BlockCyclic, tiles: str = "auto", phases: int = 4,
+               lookahead: bool = True):
     """Distributed lower Cholesky of a block-cyclic matrix.
     Returns (BlockCyclic factor, info). Lower triangle of the logical
     matrix holds L; the strict upper region is left as-is (garbage).
@@ -176,26 +218,30 @@ def potrf_dist(bc: BlockCyclic, tiles: str = "auto", phases: int = 4):
     tiles='auto' runs the same fast kernels as the single-chip driver
     (f32 Pallas mega leaves, f64 Ozaki); 'ref' forces the oracle leaves.
     phases = number of static shrinking-width stages for the trailing
-    update (1 reproduces the round-1 full-width behavior)."""
+    update (1 reproduces the round-1 full-width behavior).
+    lookahead=True factors step j+1's diagonal alongside step j's trailing
+    GEMM (the reference's stream overlap, spotrf.c:311-313, rebuilt as
+    loop-carried pipelining); False reproduces the round-2 serial steps."""
     nblk, nb, npad = bc.local.shape
     body = functools.partial(_potrf_dist_body, nblk=nblk, nb=nb, npad=npad,
                              axis=bc.axis, dtype=bc.local.dtype,
-                             tiles=tiles, phases=phases)
-    # check_vma=False: the Pallas tile kernels construct ShapeDtypeStruct
-    # outputs with no varying-mesh-axes annotation, which the vma checker
-    # rejects inside shard_map; correctness is covered by the collective
-    # structure (psum/all_gather) and the mesh tests.
+                             tiles=tiles, phases=phases, lookahead=lookahead)
+    # vma checker ON wherever the body compiles (real TPU / oracle tiles);
+    # interpret-mode Pallas bodies are the one case it cannot survive —
+    # see utils/vma.checker_on
     fn = jax.shard_map(body, mesh=bc.mesh,
                        in_specs=P(bc.axis, None, None),
                        out_specs=(P(bc.axis, None, None), P()),
-                       check_vma=False)
+                       check_vma=vma.checker_on(
+                           _dist_tiles(bc.local.dtype, nb, tiles) is not None))
     local, info = fn(bc.local)
     return BlockCyclic(local=local, n=bc.n, nb=bc.nb, mesh=bc.mesh,
                        axis=bc.axis), info
 
 
 def potrf_sharded(uplo, A, mesh, axis: str = "d", nb: int = 256,
-                  tiles: str = "auto", phases: int = 4):
+                  tiles: str = "auto", phases: int = 4,
+                  lookahead: bool = True):
     """Convenience driver: distribute → factor → collect.
 
     Upper storage is canonicalized to lower by conjugate transposition, as
@@ -204,7 +250,8 @@ def potrf_sharded(uplo, A, mesh, axis: str = "d", nb: int = 256,
     uplo = norm_uplo(uplo)
     W = A.conj().T if uplo == Uplo.UPPER else A
     bc = distribute(W, mesh, axis=axis, nb=nb)
-    fbc, info = potrf_dist(bc, tiles=tiles, phases=phases)
+    fbc, info = potrf_dist(bc, tiles=tiles, phases=phases,
+                           lookahead=lookahead)
     F = collect(fbc)
     if uplo == Uplo.UPPER:
         return jnp.triu(F.conj().T) + jnp.tril(A, -1), info

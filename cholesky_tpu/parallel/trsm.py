@@ -58,9 +58,15 @@ def _trsm_dist_body(local, B, *, nblk, nb, npad, axis, trans):
         upd = jnp.einsum("lrk,km->lrm", cols, xj,
                          precision=config.matmul_precision)
         upd = jnp.where(g[:, None, None] > j, upd, jnp.zeros_like(upd))
-        gathered = lax.all_gather(upd, axis)          # (p, nlocal, nb, m)
-        full = gathered.transpose(1, 0, 2, 3).reshape(npad, m)
-        return r - full
+        # scatter my rows into the full column and psum (NOT all_gather:
+        # psum's output is typed invariant over the axis, which keeps the
+        # replicated carry r honest under check_vma; same bytes over ICI
+        # for the tall-skinny m this path serves)
+        mine = jnp.zeros((npad, m), upd.dtype)
+        for l in range(nlocal):               # static unroll, nlocal = nblk/p
+            mine = lax.dynamic_update_slice(mine, upd[l],
+                                            (g[l] * nb, jnp.int32(0)))
+        return r - lax.psum(mine, axis)
 
     def bwd_step(i, r):
         j = nblk - 1 - i
@@ -100,12 +106,12 @@ def trsm_factor_dist(fbc: BlockCyclic, B, trans: str = "N"):
         B = jnp.pad(B, ((0, npad - B.shape[0]), (0, 0)))
     body = functools.partial(_trsm_dist_body, nblk=nblk, nb=nb, npad=npad,
                              axis=fbc.axis, trans=trans)
-    # check_vma off: the loop carry alternates between all_gather output
-    # (typed varying) and replicated values; the solve is replicated across
-    # the axis by construction (every device computes identical r).
+    # pure-XLA body (solves + psums, no Pallas): the vma checker stays ON
+    # everywhere — every collective output is typed invariant, so the
+    # replicated out_spec is machine-checked (VERDICT r2 Next #6)
     fn = jax.shard_map(body, mesh=fbc.mesh,
                        in_specs=(P(fbc.axis, None, None), P()),
-                       out_specs=P(), check_vma=False)
+                       out_specs=P(), check_vma=True)
     X = fn(fbc.local, B)[:fbc.n]
     return X[:, 0] if squeeze else X
 

@@ -30,6 +30,7 @@ from cholesky_tpu.ops import lapack_ref
 from cholesky_tpu.parallel.blockcyclic import BlockCyclic
 from cholesky_tpu.parallel.trsm import _trsm_dist_body
 from cholesky_tpu.types import Uplo, is_complex
+from cholesky_tpu.utils import vma
 
 
 def _conj(x):
@@ -93,12 +94,15 @@ def trtri_dist(bc: BlockCyclic, tiles: str = "auto"):
     """Distributed lower triangular inverse (non-unit). Returns
     (BlockCyclic inverse, info). tiles as in potrf_dist."""
     nblk, nb, npad = bc.local.shape
+    from cholesky_tpu.parallel.potrf import _dist_tiles
     body = functools.partial(_trtri_dist_body, nblk=nblk, nb=nb, npad=npad,
                              axis=bc.axis, dtype=bc.local.dtype, tiles=tiles)
+    # vma checker ON except for interpret-mode Pallas bodies (utils/vma)
     fn = jax.shard_map(body, mesh=bc.mesh,
                        in_specs=P(bc.axis, None, None),
                        out_specs=(P(bc.axis, None, None), P()),
-                       check_vma=False)
+                       check_vma=vma.checker_on(
+                           _dist_tiles(bc.local.dtype, nb, tiles) is not None))
     local, info = fn(bc.local)
     return BlockCyclic(local=local, n=bc.n, nb=bc.nb, mesh=bc.mesh,
                        axis=bc.axis), info
@@ -131,10 +135,11 @@ def lauum_dist(bc: BlockCyclic):
     nblk, nb, npad = bc.local.shape
     body = functools.partial(_lauum_dist_body, nblk=nblk, nb=nb, npad=npad,
                              axis=bc.axis)
+    # pure-XLA body (einsum + psum): checker unconditionally ON
     fn = jax.shard_map(body, mesh=bc.mesh,
                        in_specs=P(bc.axis, None, None),
                        out_specs=P(bc.axis, None, None),
-                       check_vma=False)
+                       check_vma=True)
     local = fn(bc.local)
     return BlockCyclic(local=local, n=bc.n, nb=bc.nb, mesh=bc.mesh,
                        axis=bc.axis)

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
+from cholesky_tpu.utils.vma import out_struct
 from cholesky_tpu.rng.generators import Interval, uniform as _threefry_uniform
 
 _ROWS_PER_BLOCK = 256
@@ -73,7 +74,7 @@ def uniform_device(seed: int, shape, interval=Interval.HALF_OPEN_01):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((rp, cols_p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_p, cols_p), jnp.float32),
+        out_shape=out_struct((rows_p, cols_p), jnp.float32, seed),
     )(_mix_seeds(seed, rows_p // rp))
     u = u[:rows, :cols]
     eps = jnp.finfo(jnp.float32).eps
@@ -126,8 +127,8 @@ def uniform_device64(seed: int, shape, interval=Interval.HALF_OPEN_01):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((rp, cols_p), jnp.int32),
-                   jax.ShapeDtypeStruct((rp, cols_p), jnp.int32)),
+        out_shape=(out_struct((rp, cols_p), jnp.int32, seed),
+                   out_struct((rp, cols_p), jnp.int32, seed)),
     )
     # one grid-free kernel per row chunk (see _fill_kernel64 docstring),
     # chunk seeds hashed (salt separates the 64-bit family from the f32

@@ -151,3 +151,63 @@ def test_potrf_dist_fast_f32_nonpd(mesh):
     F, info = dpotrf.potrf_sharded("L", A, mesh, nb=128)
     assert 1 <= int(info) <= 131
     assert np.isfinite(np.asarray(F)).all()
+
+
+def test_potrf_dist_lookahead_agrees(mesh):
+    # pipelined diagonal (reference stream overlap, spotrf.c:311-313) vs
+    # the serial round-2 step order: same factor to f32 roundoff (the
+    # lookahead computes block (j+1,j+1)'s update as a separate nb×nb
+    # matmul instead of a slice of the trailing GEMM)
+    A = spd(300, seed=11)
+    Fl, il = dpotrf.potrf_sharded("L", A, mesh, nb=16, lookahead=True)
+    Fs, is_ = dpotrf.potrf_sharded("L", A, mesh, nb=16, lookahead=False)
+    assert int(il) == int(is_) == 0
+    assert_close(np.tril(np.asarray(Fl)), np.tril(np.asarray(Fs)),
+                 jnp.float32, 8 * 300, "lookahead vs serial")
+    ref = np.linalg.cholesky(to_np128(A))
+    assert_close(np.tril(np.asarray(Fl)), ref, jnp.float32, 8 * 300,
+                 "lookahead vs numpy")
+
+
+def test_potrf_dist_lookahead_nonpd(mesh):
+    # freeze-at-failure semantics must survive the pipelined carry: the
+    # lookahead factor of a garbage block past the failing step is never
+    # consumed
+    A = np.asarray(spd(256, seed=12)).copy()
+    A[77, 77] = -1.0
+    A = jnp.asarray(0.5 * (A + A.T))
+    F, info = dpotrf.potrf_sharded("L", A, mesh, nb=16, lookahead=True)
+    assert 1 <= int(info) <= 78
+    assert np.isfinite(np.asarray(F)).all()
+    Fs, infos = dpotrf.potrf_sharded("L", A, mesh, nb=16, lookahead=False)
+    assert int(info) == int(infos)
+
+
+def _shard_bytes(x):
+    return [np.asarray(s.data).tobytes() for s in x.addressable_shards]
+
+
+def test_potrf_dist_cross_device_agreement(mesh):
+    # VERDICT r2 Next #6: the replicated outputs of the dist tier must be
+    # BIT-identical on every device — any divergence means a device
+    # computed from stale/wrong collective data and the P() out_spec is
+    # papering over it
+    A = spd(256, seed=13)
+    bc = blockcyclic.distribute(A, mesh, nb=16)
+    fbc, info = dpotrf.potrf_dist(bc)
+    ib = _shard_bytes(info)
+    assert len(ib) == len(mesh.devices.ravel())
+    assert all(b == ib[0] for b in ib), "info differs across devices"
+    F = blockcyclic.collect(fbc)         # replicated collect
+    fb = _shard_bytes(F)
+    assert all(b == fb[0] for b in fb), "collected factor differs across devices"
+
+
+def test_logdet_dist_cross_device_agreement(mesh):
+    A = spd(256, cond=20.0, seed=14)
+    bc = blockcyclic.distribute(A, mesh, nb=16)
+    val, info = dpotrf.logdet_dist(bc)
+    vb = _shard_bytes(val)
+    assert all(b == vb[0] for b in vb), "logdet differs across devices"
+    ib = _shard_bytes(info)
+    assert all(b == ib[0] for b in ib)
