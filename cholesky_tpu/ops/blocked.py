@@ -408,38 +408,6 @@ def _potrf_lower(A, t, nb):
     return out, info
 
 
-def _potrf_inv_lower(A, t, nb):
-    """Invert-as-you-go Cholesky: returns (L, W = L⁻¹, info).
-
-    The reference's diagonal-inverse trick (hybridSpotrf spotrf.c:252-256)
-    taken to its limit: the inverse of every factored block is carried up
-    the recursion, so the panel solve is ONE GEMM (A₂₁·W₁ᴴ) and the trsm
-    tree disappears. Costs ~2× the FLOPs (a full trtri rides along) but
-    roughly halves the op count — the winning trade at small/mid sizes
-    where this attachment is per-op-latency bound, and it hands back L⁻¹
-    for free (potri/solve reuse). Numerics: inverse-multiply panels are
-    mildly weaker than substitution, same class as the reference's s-path.
-    """
-    n = A.shape[0]
-    if n <= nb:
-        L, i1 = t.potf2(A)
-        W, _ = t.trti2(L)
-        return L, W, i1
-    n1 = _split(n, nb)
-    L1, W1, i1 = _potrf_inv_lower(A[:n1, :n1], t, nb)
-    L21 = t.mm(A[n1:, :n1], W1, tb="C")          # panel solve as one GEMM
-    A22 = t.syrk_ln(-1.0, L21, 1.0, A[n1:, n1:])
-    L2, W2, i2 = _potrf_inv_lower(A22, t, nb)
-    M = t.mm(W2, t.mm(L21, W1), alpha=-1.0)      # -W₂·L₂₁·W₁
-    z = jnp.zeros((n1, n - n1), A.dtype)
-    L = jnp.concatenate([jnp.concatenate([L1, z], axis=1),
-                         jnp.concatenate([L21, L2], axis=1)], axis=0)
-    W = jnp.concatenate([jnp.concatenate([W1, z], axis=1),
-                         jnp.concatenate([M, W2], axis=1)], axis=0)
-    info = jnp.where(i1 > 0, i1,
-                     jnp.where(i2 > 0, i2 + n1, 0)).astype(jnp.int32)
-    return L, W, info
-
 
 def _trtri_lower(L, t, nb, unit):
     n = L.shape[0]
@@ -515,14 +483,18 @@ def _merge_triangle(result, original, uplo):
 # Public LAPACK drivers
 # ---------------------------------------------------------------------------
 
-def potrf(uplo, A, backend: str = "auto", block_size: Optional[int] = None,
-          method: str = "auto"):
+def potrf(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
     """Blocked Cholesky (reference cuSpotrf, lapack/spotrf.c:261-398).
     Returns (A_factored, info).
 
-    method: 'substitute' (recursive trsm panels, minimal FLOPs),
-    'inverse' (invert-as-you-go: ~2× FLOPs, ~half the ops — faster at
-    small/mid sizes on latency-bound attachments), or 'auto'.
+    Panel solves use recursive substitution (minimal FLOPs). A round-1
+    invert-as-you-go variant (the reference's diagonal-inverse trick,
+    hybridSpotrf spotrf.c:252-256, carried up the whole recursion) was
+    measured a wash at n=2048/4096 when both paths sat on the per-op
+    latency floor, and the mega kernels now own the latency-bound regime
+    it targeted — so the knob was removed (VERDICT r2 Next #9); the
+    trick itself lives on at the leaves (_trsm_rlt), inside the mega
+    kernels (Newton tile inverses) and in the distributed tier.
 
     Complex operands (arrays or (re, im) pairs) route through the real
     embedding onto the fast real tiles when _route_complex says so —
@@ -539,22 +511,16 @@ def potrf(uplo, A, backend: str = "auto", block_size: Optional[int] = None,
     nb = block_size or t.default_nb
     if n == 0:
         return A, jnp.int32(0)
-    if method == "auto":
-        method = "substitute"
     # whole-matrix fast path: one mega-kernel dispatch beats the blocked
     # recursion wherever the kernels reach (measured r3: 2.9 TF/s vs
     # 1.4 TF/s at n=2048, 1.0 vs 0.3 at 1280) — the public-API analog of
     # the reference calling spotf2-on-GPU for small problems
-    if (method == "substitute" and block_size is None
-            and isinstance(t, _PallasTiles) and _mega_ok(n)):
+    if (block_size is None and isinstance(t, _PallasTiles) and _mega_ok(n)):
         F, info = t.potf2(_to_lower(A, uplo))
         return _merge_triangle(_from_lower(F, uplo), A, uplo), info
     W = _to_lower(A, uplo)
     Wp, _ = _pad_identity(W, nb)
-    if method == "inverse":
-        F, _, info = _potrf_inv_lower(Wp, t, nb)
-    else:
-        F, info = _potrf_lower(Wp, t, nb)
+    F, info = _potrf_lower(Wp, t, nb)
     F = F[:n, :n]
     return _merge_triangle(_from_lower(F, uplo), A, uplo), info
 

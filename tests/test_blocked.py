@@ -191,25 +191,10 @@ def test_syrk_blocked_pallas(uplo, trans):
     np.testing.assert_array_equal(anti, anti_c)
 
 
-@pytest.mark.parametrize("uplo", ["L", "U"])
-def test_potrf_inverse_method(uplo):
-    # invert-as-you-go variant (reference inverse trick taken to its limit)
+def test_potrf_no_method_knob():
+    # VERDICT r2 Next #9: the invert-as-you-go method knob was removed
+    # (dead by default; the diagonal-inverse trick lives at the leaves,
+    # in the mega kernels and the dist tier) — passing it must fail loudly
     A = spd(N, jnp.float32, seed=11)
-    F, info = blocked.potrf(uplo, A, backend="pallas", block_size=NB,
-                            method="inverse")
-    assert int(info) == 0
-    L = np.linalg.cholesky(to_np128(A))
-    ref = L if uplo == "L" else L.conj().T
-    tri = np.tril if uplo == "L" else np.triu
-    assert_close(tri(np.asarray(F)), tri(ref), jnp.float32, 16 * N,
-                 f"potrf inverse {uplo}")
-
-
-def test_potrf_inverse_method_nonpd_info():
-    A = np.asarray(spd(N, jnp.float32, seed=12)).copy()
-    A[99, 99] = -2.0
-    A = jnp.asarray(0.5 * (A + A.T))
-    F, info = blocked.potrf("L", A, backend="pallas", block_size=NB,
-                            method="inverse")
-    assert 1 <= int(info) <= 100
-    assert np.isfinite(np.asarray(F)).all()
+    with pytest.raises(TypeError):
+        blocked.potrf("L", A, method="inverse")

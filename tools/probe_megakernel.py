@@ -54,19 +54,17 @@ def main():
         for nb in (128, 256, 512, 1024):
             if nb > n:
                 continue
-            for method in ("substitute", "inverse"):
-                try:
-                    t = bench_op(
-                        lambda x: blocked.potrf("L", x, backend="pallas",
-                                                block_size=nb,
-                                                method=method)[0],
-                        A, chain=4, reps=3)
-                    gf = flops_potrf(n) / t / 1e9
-                    print(f"  n={n:5d} nb={nb:5d} {method[:4]}  "
-                          f"{t*1e3:9.2f} ms  {gf:8.1f} GF/s", flush=True)
-                except Exception as e:
-                    print(f"  n={n:5d} nb={nb:5d} {method[:4]}  FAILED: "
-                          f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+            try:
+                t = bench_op(
+                    lambda x: blocked.potrf("L", x, backend="pallas",
+                                            block_size=nb)[0],
+                    A, chain=4, reps=3)
+                gf = flops_potrf(n) / t / 1e9
+                print(f"  n={n:5d} nb={nb:5d}  "
+                      f"{t*1e3:9.2f} ms  {gf:8.1f} GF/s", flush=True)
+            except Exception as e:
+                print(f"  n={n:5d} nb={nb:5d}  FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,12 +1,9 @@
 """Round-3 on-chip probes (run on the real TPU, after the golden sweeps).
 
-1. potrf method crossover (VERDICT r2 Next #9): substitute vs inverse at
-   the sizes above the mega-kernel ceiling — the data that wires or kills
-   the 'auto' → 'inverse' crossover.
-2. Distributed potrf lookahead (VERDICT r2 Next #5): step-time of the
+1. Distributed potrf lookahead (VERDICT r2 Next #5): step-time of the
    1-device shard_map run at n=8192 with and without the pipelined
    diagonal carry.
-3. check_vma=True validation on a real-TPU mesh (VERDICT r2 Next #6):
+2. check_vma=True validation on a real-TPU mesh (VERDICT r2 Next #6):
    the compiled-kernel path the CPU tests cannot exercise.
 
 Prints one JSON line per probe; exits nonzero on any failure.
@@ -29,26 +26,6 @@ from cholesky_tpu.rng import generators
 def spd(n, seed=0):
     return generators.latmc(jax.random.PRNGKey(seed), n, 100.0, jnp.float32)
 
-
-def probe_method_crossover(sizes=(1500, 4096, 8192)):
-    # 1500: non-mega-eligible mid size (padded recursion both ways) —
-    # the latency-bound regime the inverse trick targets; 4096/8192:
-    # the GEMM-bound regime where its 2× FLOPs should lose
-    from cholesky_tpu.ops import blocked
-    out = {}
-    for n in sizes:
-        A = spd(n)
-        row = {}
-        for method in ("substitute", "inverse"):
-            fn = jax.jit(lambda a, m=method: blocked.potrf("L", a,
-                                                           method=m)[0])
-            t = benchlib.bench_op(fn, A)
-            gf = (n ** 3 / 3.0) / t / 1e9
-            row[method] = round(gf, 1)
-        out[n] = row
-        print(json.dumps({"probe": "method_crossover", "n": n, **row,
-                          "winner": max(row, key=row.get)}), flush=True)
-    return out
 
 
 def probe_lookahead(n=8192, nb=256):
@@ -99,11 +76,9 @@ def probe_check_vma_on_chip(n=1024, nb=256):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["vma", "method", "lookahead"]
+    which = sys.argv[1:] or ["vma", "lookahead"]
     if "vma" in which:
         probe_check_vma_on_chip()
-    if "method" in which:
-        probe_method_crossover()
     if "lookahead" in which:
         probe_lookahead()
     print("probe_r3 done", file=sys.stderr)
