@@ -131,3 +131,27 @@ def test_trmm_dist(mesh, side, uplo, trans):
     ref = 1.3 * (T @ to_np128(B) if side == "L" else to_np128(B) @ T)
     assert_close(out, ref, jnp.float32, 2 * na + 3,
                  f"trmm_dist {side}{uplo}{trans}")
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex64])
+def test_trmm_dist_dtypes(mesh, dtype):
+    # the r3 stripe decomposition must hold for every dtype the single-chip
+    # driver serves (f64 live-block tiles / complex via the embedding)
+    m, n = 160, 64
+    A = generators.random_triangular(jax.random.PRNGKey(10), m, "L", "N",
+                                     dtype)
+    B = rnd(11, (m, n)).astype(dtype)
+    out = dblas.trmm_dist("L", "L", "N", "N", 1.0, A, B, mesh)
+    ref = np.tril(to_np128(A)) @ to_np128(B)
+    assert_close(out, ref, dtype, 2 * m + 3, f"trmm_dist {np.dtype(dtype)}")
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex64])
+def test_trsm_dist_dtypes(mesh, dtype):
+    m, n = 160, 64
+    A = generators.random_triangular(jax.random.PRNGKey(12), m, "L", "N",
+                                     dtype, well_conditioned=True)
+    B = rnd(13, (m, n)).astype(dtype)
+    out = dblas.trsm_dist("L", "L", "N", "N", 1.0, A, B, mesh)
+    ref = np.linalg.solve(np.tril(to_np128(A)), to_np128(B))
+    assert_close(out, ref, dtype, 30 * m, f"trsm_dist {np.dtype(dtype)}")
