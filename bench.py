@@ -91,9 +91,44 @@ threading.Thread(target=_watchdog, daemon=True).start()
 
 # ------------------------------------------------------------------- setup
 _stage = "jax import"
+import subprocess    # noqa: E402
 import jax           # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np   # noqa: E402
+
+
+def _cpu_platform_pinned() -> bool:
+    # reading the config does NOT initialize the backend; jax_platforms is
+    # a PRIORITY list (here "axon,cpu"), so only a LEADING "cpu" proves
+    # that backend init cannot touch the axon tunnel
+    try:
+        plat = jax.config.jax_platforms
+    except Exception:
+        plat = None
+    plat = plat or os.environ.get("JAX_PLATFORMS", "")
+    first = str(plat).split(",")[0].strip().lower()
+    return first == "cpu"
+
+
+def _tunnel_alive(timeout_s: float = 40.0) -> bool:
+    """Tiny dispatch in a subprocess under a hard timeout (CLAUDE.md rule 7).
+
+    A dead axon relay makes backend init block FOREVER in-process — the
+    round-3 run burned its whole 560 s watchdog budget hung inside
+    `jax.default_backend()`.  The probe must therefore live in a separate
+    killable process; ~40 s also covers a long-idle tunnel's slow first
+    dispatch (the quick-point stage absorbs the rest of the wakeup).
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = jnp.ones((8, 8));"
+             "assert float((x @ x).sum()) == 512.0"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
 
 # shared with the dev/autotune cache so repeat runs on this machine reuse
 # warm compilations; min_compile_time 0 caches even the cheap programs
@@ -105,6 +140,11 @@ from cholesky_tpu.rng import latmc             # noqa: E402
 from cholesky_tpu.utils.benchlib import bench_op  # noqa: E402
 
 BASELINE_GFLOPS = 175.0
+# projection-residual acceptance: same scale as the full backward residual
+# for a correct factor (ADVICE r3 #2 — was 1e-4, which left room for a
+# subtly-wrong factor to pass); the emitted JSON also names which verify
+# mode the recorded number passed ("full" or "projection").
+PROJ_TOL = 1e-5
 N_QUICK = 1024     # tiny-compile first point: lands a real number in _best
                    # within seconds even on a fully cold cache/tunnel
 N_FIRST = 4096     # the reference's headline size — full verify here
@@ -202,14 +242,27 @@ def _measure(n, backend, full_verify):
     return gf, resid, int(info)
 
 
-def _record(n, gf):
+def _record(n, gf, verify):
     _best.update({"metric": f"spotrf_gflops_n{n}", "value": round(gf, 1),
-                  "vs_baseline": round(gf / BASELINE_GFLOPS, 2)})
+                  "vs_baseline": round(gf / BASELINE_GFLOPS, 2),
+                  "verify": verify})
     _best.pop("error", None)
 
 
 def main():
     global _stage
+    # stage -1: bounded tunnel-liveness probe BEFORE any backend init.
+    # With a dead relay, `jax.default_backend()` below would hang forever;
+    # emit a diagnostic JSON within ~a minute instead (VERDICT r3 Weak #2).
+    if not _cpu_platform_pinned():
+        _stage = "tunnel probe"
+        if not _tunnel_alive():
+            log("tunnel probe FAILED: tiny-dispatch subprocess timed out — "
+                "axon relay is down; emitting without touching the backend")
+            _best["error"] = "tunnel dead"
+            emit()
+            return
+    _stage = "backend init"
     backend = jax.default_backend()
     log(f"device: {jax.devices()[0]} (backend={backend}) "
         f"deadline={DEADLINE_S:.0f}s")
@@ -226,8 +279,8 @@ def main():
     if backend == "tpu":
         try:
             gfq, residq, infoq = _measure(N_QUICK, backend, full_verify=False)
-            if infoq == 0 and residq <= 1e-4:
-                _record(N_QUICK, gfq)
+            if infoq == 0 and residq <= PROJ_TOL:
+                _record(N_QUICK, gfq, "projection")
         except Exception as e:
             log(f"quick point failed: {e}")
 
@@ -238,7 +291,7 @@ def main():
         _best["error"] = f"accuracy failure at n={n} resid={resid} info={info}"
         emit()
         return
-    _record(n, gf)
+    _record(n, gf, "full")
 
     # larger sizes amortize per-op overheads substantially (measured:
     # 7.0 TF/s @4096 -> 11.4 @8192 -> 17.2 @16384); climb while the
@@ -250,9 +303,9 @@ def main():
             continue
         try:
             gfl, residl, infol = _measure(nl, backend, full_verify=False)
-            if infol == 0 and residl <= 1e-4 and gfl > gf:
+            if infol == 0 and residl <= PROJ_TOL and gfl > gf:
                 gf = gfl
-                _record(nl, gfl)
+                _record(nl, gfl, "projection")
         except Exception as e:  # keep the last good result
             log(f"n={nl} attempt failed: {e}")
             break

@@ -220,7 +220,28 @@ class _OzakiTiles(_XlaTiles):
                                           lower=True).T
         Phi = jnp.tril(G32, -1) + 0.5 * jnp.diag(jnp.diag(G32))
         E = jnp.matmul(Lh32, Phi, precision=config.matmul_precision)
-        return jnp.tril(Lh + E.astype(A.dtype)), info
+        refined = jnp.tril(Lh + E.astype(A.dtype))
+
+        # f64 rescue (VERDICT r3 Next #9): the f32 leaf factor decides
+        # failure at f32 precision, so a matrix PD in f64 but borderline
+        # at f32 (leading minors within ~2⁻²⁴ of zero) would wrongly
+        # report info > 0 — a semantic divergence from reference dpotrf
+        # (reference lapack/dpotrf.c potf2 pivots in full f64).  When the
+        # fast path flags a failure, re-factor this leaf with the true-f64
+        # reference potf2; lax.cond executes the slow emulated-f64 branch
+        # ONLY on flagged leaves, so the MXU fast path is untouched for PD
+        # inputs.  Final info is therefore always an f64 verdict.  (The
+        # mirror case — f32 accepting a pivot that is ≤0 in exact f64
+        # arithmetic — remains precision-limited, as in any fixed-precision
+        # dpotrf.)
+        from cholesky_tpu.ops import lapack_ref
+
+        def _rescue(_):
+            L64, info64 = lapack_ref.potf2("L", A)
+            return jnp.tril(L64), info64
+
+        return lax.cond(info > 0, _rescue,
+                        lambda _: (refined, info), operand=None)
 
     def trti2(self, A, *, unit=False):
         from cholesky_tpu.ops.ozaki import matmul_f64

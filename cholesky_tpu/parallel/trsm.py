@@ -60,8 +60,13 @@ def _trsm_dist_body(local, B, *, nblk, nb, npad, axis, trans):
         upd = jnp.where(g[:, None, None] > j, upd, jnp.zeros_like(upd))
         # scatter my rows into the full column and psum (NOT all_gather:
         # psum's output is typed invariant over the axis, which keeps the
-        # replicated carry r honest under check_vma; same bytes over ICI
-        # for the tall-skinny m this path serves)
+        # replicated carry r honest under check_vma).  Traffic cost: a ring
+        # all-reduce of the (npad, m) scatter buffer moves ~2·npad·m per
+        # device vs ~npad·m for an all_gather of shards — accepted because
+        # m = nrhs is small on this tall-skinny path and the vma-invariant
+        # typing is worth the 2× on a few-hundred-KB message (ADVICE r3 #1;
+        # a reduce_scatter+gather of only the live (nblk-j)·nb rows would
+        # reclaim it if nrhs ever grows).
         mine = jnp.zeros((npad, m), upd.dtype)
         for l in range(nlocal):               # static unroll, nlocal = nblk/p
             mine = lax.dynamic_update_slice(mine, upd[l],

@@ -58,25 +58,33 @@ def test_k_beyond_exact_bound_chunks():
                                atol=k * 2.0 ** -40)
 
 
-def test_dpotrf_f32_boundary_detection_pinned():
-    """Pins the documented behavior of the Ozaki refinement leaves: non-PD
-    detection happens at f32 precision (the diagonal block is factored by
-    the f32 Pallas kernel, ops/blocked.py _OzakiTiles.potf2). A matrix
-    that is PD in f64 but loses definiteness under f32 rounding reports
-    info > 0 — a deliberate deviation from a true-f64 potf2, traded for
-    MXU-speed leaves; callers needing exact f64 pivoting use backend='xla'.
+def test_dpotrf_f64_boundary_rescue():
+    """Non-PD detection in the Ozaki leaves is an f64 verdict (VERDICT r3
+    Next #9): the f32 Pallas leaf flags borderline pivots, and a flagged
+    leaf is re-factored by the true-f64 reference potf2 under lax.cond
+    (ops/blocked.py _OzakiTiles.potf2).  A matrix PD in f64 but losing
+    definiteness under f32 rounding therefore factors with info=0 —
+    matching reference dpotrf (reference lapack/dpotrf.c) — while a truly
+    non-PD matrix still reports the correct 1-based f64 pivot.
     """
     # [[1, a], [a, a² + δ]]: det = δ = 1e-12 > 0 (PD in f64), but in f32
-    # a² + δ rounds back to a² ⇒ pivot 2 becomes exactly 0 ⇒ flagged.
+    # a² + δ rounds back to a² ⇒ pivot 2 is 0 at f32 ⇒ f64 rescue fires.
     a, delta = 0.5, 1e-12
     A = jnp.asarray([[1.0, a], [a, a * a + delta]], jnp.float64)
-    # f64 oracle: succeeds
     from cholesky_tpu.ops import lapack_ref
     _, info_ref = lapack_ref.potf2("L", A)
     assert int(info_ref) == 0
-    # Ozaki-leaf path: detects at f32 ⇒ info = 2 (pinned)
-    _, info_oz = blocked.potrf("L", A, backend="ozaki")
-    assert int(info_oz) == 2
+    F, info_oz = blocked.potrf("L", A, backend="ozaki")
+    assert int(info_oz) == 0
+    L = np.tril(np.asarray(F))
+    assert np.max(np.abs(L @ L.T - np.asarray(A))) < 1e-15
+
+    # truly non-PD: the same rescue path must CONFIRM the failure with the
+    # correct f64 pivot index, and outputs stay finite (freeze semantics)
+    B = jnp.asarray([[1.0, a], [a, a * a - 1e-6]], jnp.float64)
+    FB, info_b = blocked.potrf("L", B, backend="ozaki")
+    assert int(info_b) == 2
+    assert np.all(np.isfinite(np.asarray(FB)))
 
 
 @pytest.mark.parametrize("uplo", ["L", "U"])
@@ -133,6 +141,36 @@ def test_dgemm_ozaki_backend():
     out = blocked.gemm("N", "N", 0.5, A, B, -1.0, C, backend="ozaki")
     ref = 0.5 * np.asarray(A) @ np.asarray(B) - np.asarray(C)
     assert np.max(np.abs(np.asarray(out) - ref)) < 1e-9
+
+
+@pytest.mark.parametrize("scaling", ["rows", "decay"])
+def test_dtrmm_ozaki_bad_row_scaling(scaling, monkeypatch):
+    """Pin live-block trmm accuracy under adversarial scalings (ADVICE r3
+    #3): trmm_lln hoists ONE row-scale from the full row of L for every
+    sub-block, so dropped-pair truncation is relative to the row max, not
+    the block max.  Two stress cases: (a) per-row scales spanning 10^±8
+    (captured exactly by the per-row split) and (b) within-row decay of
+    10^8 away from the diagonal — the case where off-diagonal blocks are
+    tiny relative to their row max.  Measured 2026-08-18 at slices=6:
+    row-wise relative error ≤ 1.7e-11 in both; pinned at 1e-9 — if a
+    future peel change reduces the slices=6 margin below this, fall back
+    to per-block peeling."""
+    monkeypatch.setattr(blocked, "TRMM_TILES_NB", 64)
+    n = 256
+    r = np.random.RandomState(0)
+    if scaling == "rows":
+        scale = (10.0 ** r.uniform(-8, 8, size=n))[:, None]
+    else:
+        i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        scale = 10.0 ** (-8.0 * np.clip(i - j, 0, None) / n)
+    L = np.tril(r.randn(n, n)) * scale
+    B = r.randn(n, 24)
+    out = blocked.trmm("L", "L", "N", "N", 1.0, jnp.asarray(L),
+                       jnp.asarray(B), backend="ozaki")
+    ref = np.tril(L) @ B
+    rowwise = np.max(np.max(np.abs(np.asarray(out) - ref), axis=1) /
+                     (np.max(np.abs(ref), axis=1) + 1e-300))
+    assert rowwise < 1e-9, rowwise
 
 
 @pytest.mark.parametrize("side", ["L", "R"])

@@ -85,13 +85,13 @@ class DT:
             return generators.latmc_pair(key, n, cond, self.rdt)
         return generators.latmc(key, n, cond, self.cdt)
 
-    def chol_factor(self, n):
+    def chol_factor(self, n, uplo="L"):
         from cholesky_tpu.ops import blocked
         # one jitted program: eager tracing costs one remote dispatch per
         # XLA op (and the potrf point at the same n warms this compile)
-        F, _ = jax.jit(lambda a: blocked.potrf("L", a, backend="auto"))(
+        F, _ = jax.jit(lambda a: blocked.potrf(uplo, a, backend="auto"))(
             self.hpd(n))
-        return self._tril(F)
+        return self._tri(F, uplo)
 
     def rand(self, n, seed_off=0):
         key = jax.random.PRNGKey(n + seed_off)
@@ -110,6 +110,18 @@ class DT:
         if isinstance(X, tuple):
             return jnp.tril(X[0], k), jnp.tril(X[1], k)
         return jnp.tril(X, k)
+
+    def _tri(self, X, uplo, k=0):
+        if uplo == "L":
+            return self._tril(X, k)
+        if isinstance(X, tuple):
+            return jnp.triu(X[0], k), jnp.triu(X[1], k)
+        return jnp.triu(X, k)
+
+    def trans_char(self):
+        """The 'transposed' variant letter: conjugate-transpose for the
+        complex tiers (the case the reference's c/z logs sweep)."""
+        return "T" if self.real else "C"
 
     def to_np(self, X):
         """numpy f64/c128 view of an array or an (re, im) pair."""
@@ -165,17 +177,32 @@ def _tol(dt: DT, fpe, scale, n=0):
 
 
 # --- per-op sweep points: return (dt_sec, flops, oracle, fpe, info) --------
+#
+# Every point takes a variant ``cfg`` (VERDICT r3 Next #4 — the reference
+# sweeps upper AND lower per LAPACK routine, test/test_gpulapack.sh:4-13,
+# and per-combo trmm2/trsm logs whose FAILED segments were variant-
+# specific).  Encodings:
+#   potrf/potri/lauum/logdet: "l" | "u"            (uplo)
+#   trtri:                    "ln"|"un"|"lu"|"uu"  (uplo, diag)
+#   gemm:                     "nn"|"nt"|"tn"|"tt"  (transa, transb)
+#   syrk:                     "ln"|"lt"|"un"|"ut"  (uplo, trans)
+#   trmm/trsm:                "llnn" …             (side, uplo, transa, diag)
+# For complex tiers a "t" position means the conjugate transpose.
 
-def point_potrf(n, backend, dt: DT):
+def point_potrf(n, backend, dt: DT, cfg="l"):
     from cholesky_tpu.ops import blocked
+    uplo = cfg.upper()
+    tri = np.tril if uplo == "L" else np.triu
     A = dt.hpd(n)
-    f = jax.jit(lambda a: blocked.potrf("L", a, backend=backend))
+    f = jax.jit(lambda a: blocked.potrf(uplo, a, backend=backend))
     sec, (F, info) = _time(f, A, n, dt.letter)
-    Fnp = np.tril(dt.to_np(dt._tril(F)))
+    Fnp = tri(dt.to_np(dt._tri(F, uplo)))
     Anp = dt.to_np(A)
 
     def oracle():
         ref = np.linalg.cholesky(Anp)
+        if uplo == "U":
+            ref = ref.conj().T
         return float(np.max(np.abs(Fnp - ref))), float(np.max(np.abs(ref)))
 
     # fpe carries the fixture's cond=100 forward-error amplification: the
@@ -185,56 +212,76 @@ def point_potrf(n, backend, dt: DT):
     return sec, dt.flop_factor * (n ** 3 / 3 + n ** 2 / 2), oracle, 100 * n, int(info)
 
 
-def point_potri(n, backend, dt: DT):
+def point_potri(n, backend, dt: DT, cfg="l"):
     from cholesky_tpu.ops import blocked
-    F = dt.chol_factor(n)
-    f = jax.jit(lambda a: blocked.potri("L", a, backend=backend))
+    uplo = cfg.upper()
+    tri = np.tril if uplo == "L" else np.triu
+    F = dt.chol_factor(n, uplo)
+    f = jax.jit(lambda a: blocked.potri(uplo, a, backend=backend))
     sec, (Inv, info) = _time(f, F, n, dt.letter)
-    Invnp = np.tril(dt.to_np(dt._tril(Inv)))
-    Fnp = np.tril(dt.to_np(F))
-    Anp = Fnp @ Fnp.conj().T
+    Invnp = tri(dt.to_np(dt._tri(Inv, uplo)))
+    Fnp = tri(dt.to_np(F))
+    Anp = Fnp @ Fnp.conj().T if uplo == "L" else Fnp.conj().T @ Fnp
 
     def oracle():
-        ref = np.tril(np.linalg.inv(Anp))
+        ref = tri(np.linalg.inv(Anp))
         return float(np.max(np.abs(Invnp - ref))), float(np.max(np.abs(ref)))
 
     return sec, dt.flop_factor * 2 * n ** 3 / 3, oracle, 3000 * n, int(info)
 
 
-def point_trtri(n, backend, dt: DT):
+def point_trtri(n, backend, dt: DT, cfg="ln"):
     from cholesky_tpu.ops import blocked
-    A = dt.chol_factor(n)
-    f = jax.jit(lambda a: blocked.trtri("L", "N", a, backend=backend))
+    uplo, diag = cfg[0].upper(), cfg[1].upper()
+    tri = np.tril if uplo == "L" else np.triu
+    A = dt.chol_factor(n, uplo)
+    f = jax.jit(lambda a: blocked.trtri(uplo, diag, a, backend=backend))
     sec, (R, info) = _time(f, A, n, dt.letter)
-    Rnp = np.tril(dt.to_np(dt._tril(R)))
-    Anp = np.tril(dt.to_np(A))
+    k = -1 if uplo == "L" else 1
+    Rnp = dt.to_np(dt._tri(R, uplo))
+    Anp = tri(dt.to_np(A))
+    if diag == "U":
+        # unit-diag contract: only the strict triangle of the output is
+        # defined (diagonal passes through untouched)
+        Rnp = tri(Rnp, k)
 
     def oracle():
-        ref = np.tril(np.linalg.inv(Anp))
-        return float(np.max(np.abs(Rnp - ref))), float(np.max(np.abs(ref)))
+        T = Anp.copy()
+        if diag == "U":
+            np.fill_diagonal(T, 1.0)
+        ref = tri(np.linalg.inv(T))
+        if diag == "U":
+            ref = tri(ref, k)
+        else:
+            ref = tri(ref)
+        return float(np.max(np.abs(tri(Rnp) - ref))), float(np.max(np.abs(ref)))
 
     return sec, dt.flop_factor * n ** 3 / 3, oracle, 60 * n, int(info)
 
 
-def point_lauum(n, backend, dt: DT):
+def point_lauum(n, backend, dt: DT, cfg="l"):
     from cholesky_tpu.ops import blocked
-    A = dt.chol_factor(n)
-    f = jax.jit(lambda a: blocked.lauum("L", a, backend=backend))
+    uplo = cfg.upper()
+    tri = np.tril if uplo == "L" else np.triu
+    A = dt.chol_factor(n, uplo)
+    f = jax.jit(lambda a: blocked.lauum(uplo, a, backend=backend))
     sec, R = _time(f, A, n, dt.letter)
-    Rnp = np.tril(dt.to_np(dt._tril(R)))
-    Anp = np.tril(dt.to_np(A))
+    Rnp = tri(dt.to_np(dt._tri(R, uplo)))
+    Anp = tri(dt.to_np(A))
 
     def oracle():
-        ref = np.tril(Anp.conj().T @ Anp)
+        # LAPACK xLAUUM: uplo=L -> Lᴴ·L, uplo=U -> U·Uᴴ
+        ref = tri(Anp.conj().T @ Anp if uplo == "L" else Anp @ Anp.conj().T)
         return float(np.max(np.abs(Rnp - ref))), float(np.max(np.abs(ref)))
 
     return sec, dt.flop_factor * n ** 3 / 3, oracle, 2 * n + 3, 0
 
 
-def point_logdet(n, backend, dt: DT):
+def point_logdet(n, backend, dt: DT, cfg="l"):
     from cholesky_tpu.ops import blocked
+    uplo = cfg.upper()
     A = dt.hpd(n, cond=30.0)
-    f = jax.jit(lambda a: blocked.logdet("L", a, backend=backend))
+    f = jax.jit(lambda a: blocked.logdet(uplo, a, backend=backend))
     sec, (val, info) = _time(f, A, n, dt.letter)
     Anp = dt.to_np(A)
     v = float(np.asarray(val))
@@ -246,7 +293,7 @@ def point_logdet(n, backend, dt: DT):
     return sec, dt.flop_factor * n ** 3 / 3, oracle, 60 * n, int(info)
 
 
-def point_logdet_diag(n, backend, dt: DT):
+def point_logdet_diag(n, backend, dt: DT, cfg="auto"):
     """Bandwidth-metric logdet from a factored diagonal, to n = 2^20 —
     the reference's cuslogdet sweep (test/benchmark_base cuslogdet.txt,
     strided-vector entry slogdet.c:10-25). 'gflops' field = GB/s here."""
@@ -266,81 +313,111 @@ def point_logdet_diag(n, backend, dt: DT):
     return sec, nbytes, oracle, 60 * max(1, n // 1024), 0
 
 
-def point_gemm(n, backend, dt: DT):
+def point_gemm(n, backend, dt: DT, cfg="nn"):
     from cholesky_tpu.ops import blocked
+    ta = "N" if cfg[0] == "n" else dt.trans_char()
+    tb = "N" if cfg[1] == "n" else dt.trans_char()
     A, B, C = dt.rand(n, 0), dt.rand(n, 1), dt.rand(n, 2)
-    f = jax.jit(lambda a: blocked.gemm("N", "N", 1.0, a, B, -1.0, C,
+    f = jax.jit(lambda a: blocked.gemm(ta, tb, 1.0, a, B, -1.0, C,
                                        backend=backend))
     sec, D = _time(f, A, n, dt.letter)
     Dnp = dt.to_np(D)
     An, Bn, Cn = dt.to_np(A), dt.to_np(B), dt.to_np(C)
 
+    def _op(M, t):
+        return M if t == "N" else (M.T if t == "T" else M.conj().T)
+
     def oracle():
-        ref = An @ Bn - Cn
+        ref = _op(An, ta) @ _op(Bn, tb) - Cn
         return float(np.max(np.abs(Dnp - ref))), float(np.max(np.abs(ref)))
 
     return sec, dt.flop_factor * 2 * n ** 3, oracle, 2 * n + 3, 0
 
 
-def point_syrk(n, backend, dt: DT):
+def point_syrk(n, backend, dt: DT, cfg="ln"):
     from cholesky_tpu.ops import blocked
+    uplo = cfg[0].upper()
+    trans = "N" if cfg[1] == "n" else dt.trans_char()
+    tri = np.tril if uplo == "L" else np.triu
     A, C = dt.rand(n, 0), dt.rand(n, 1)
     if dt.real:
-        f = jax.jit(lambda a: blocked.syrk("L", "N", -1.0, a, 1.0, C,
+        f = jax.jit(lambda a: blocked.syrk(uplo, trans, -1.0, a, 1.0, C,
                                            backend=backend))
     else:
         # complex tier: the Hermitian rank-k update is HERK
-        Ch = dt._tril(C)  # only the triangle is read; diag im ignored
-        f = jax.jit(lambda a: blocked.herk("L", "N", -1.0, a, 1.0, Ch,
+        Ch = dt._tri(C, uplo)  # only the triangle is read; diag im ignored
+        f = jax.jit(lambda a: blocked.herk(uplo, trans, -1.0, a, 1.0, Ch,
                                            backend=backend))
     sec, D = _time(f, A, n, dt.letter)
-    Dnp = np.tril(dt.to_np(dt._tril(D)))
+    Dnp = tri(dt.to_np(dt._tri(D, uplo)))
     An = dt.to_np(A)
-    Cn = np.tril(dt.to_np(dt._tril(C) if not dt.real else C))
+    Cn = tri(dt.to_np(dt._tri(C, uplo) if not dt.real else C))
     if not dt.real:
         Cn = Cn - 1j * np.diag(np.diag(Cn).imag)
 
     def oracle():
-        ref = np.tril(-An @ An.conj().T + Cn)
+        if dt.real:
+            P = An @ An.T if trans == "N" else An.T @ An
+        else:
+            P = An @ An.conj().T if trans == "N" else An.conj().T @ An
+        ref = tri(-P + Cn)
         return float(np.max(np.abs(Dnp - ref))), float(np.max(np.abs(ref)))
 
     return sec, dt.flop_factor * n ** 3, oracle, 2 * n + 3, 0
 
 
-def point_trmm(n, backend, dt: DT):
+def _trimat(dt: DT, An, uplo, diag, transa):
+    """numpy op(tri(A)) for a trmm/trsm variant."""
+    T = np.tril(An) if uplo == "L" else np.triu(An)
+    if diag == "U":
+        np.fill_diagonal(T, 1.0)
+    if transa == "T":
+        T = T.T
+    elif transa == "C":
+        T = T.conj().T
+    return T
+
+
+def point_trmm(n, backend, dt: DT, cfg="llnn"):
     from cholesky_tpu.ops import blocked
-    A = dt.chol_factor(n)
+    side, uplo, diag = cfg[0].upper(), cfg[1].upper(), cfg[3].upper()
+    transa = "N" if cfg[2] == "n" else dt.trans_char()
+    A = dt.chol_factor(n, uplo)
     B = dt.rand(n, 1)
-    f = jax.jit(lambda b: blocked.trmm("L", "L", "N", "N", 1.0, A, b,
+    f = jax.jit(lambda b: blocked.trmm(side, uplo, transa, diag, 1.0, A, b,
                                        backend=backend))
     sec, D = _time(f, B, n, dt.letter)
     Dnp = dt.to_np(D)
-    An = np.tril(dt.to_np(A))
+    An = dt.to_np(A)
     Bn = dt.to_np(B)
 
     def oracle():
-        ref = An @ Bn
+        T = _trimat(dt, An, uplo, diag, transa)
+        ref = T @ Bn if side == "L" else Bn @ T
         return float(np.max(np.abs(Dnp - ref))), float(np.max(np.abs(ref)))
 
     return sec, dt.flop_factor * n ** 3, oracle, 2 * n + 3, 0
 
 
-def point_trsm(n, backend, dt: DT):
+def point_trsm(n, backend, dt: DT, cfg="llnn"):
     from cholesky_tpu.ops import blocked
-    A = dt.chol_factor(n)
+    side, uplo, diag = cfg[0].upper(), cfg[1].upper(), cfg[3].upper()
+    transa = "N" if cfg[2] == "n" else dt.trans_char()
+    A = dt.chol_factor(n, uplo)
     B = dt.rand(n, 1)
-    f = jax.jit(lambda b: blocked.trsm("L", "L", "N", "N", 1.0, A, b,
+    f = jax.jit(lambda b: blocked.trsm(side, uplo, transa, diag, 1.0, A, b,
                                        backend=backend))
     sec, X = _time(f, B, n, dt.letter)
     Xnp = dt.to_np(X)
-    An = np.tril(dt.to_np(A))
+    An = dt.to_np(A)
     Bn = dt.to_np(B)
 
     def oracle():
         # scaled residual — forward error is cond-limited for triangular
         # solves (reference custrsm tests use ≤1e-6 on tame inputs)
-        res = np.max(np.abs(An @ Xnp - Bn))
-        scale = np.max(np.abs(Xnp)) * np.max(np.abs(An))
+        T = _trimat(dt, An, uplo, diag, transa)
+        res = np.max(np.abs((T @ Xnp if side == "L" else Xnp @ T) - Bn))
+        scale = np.max(np.abs(Xnp)) * np.max(np.abs(T))
         return float(res / max(scale, 1e-30)), 1.0
 
     return sec, dt.flop_factor * n ** 3, oracle, 60 * n, 0
@@ -354,6 +431,38 @@ POINTS = {
     "trsm": point_trsm,
 }
 
+#: the variant a bare sweep records (and what pre-r4 golden rows with
+#: config="auto" measured)
+DEFAULT_CFG = {
+    "potrf": "l", "potri": "l", "trtri": "ln", "lauum": "l", "logdet": "l",
+    "logdet_diag": "auto", "gemm": "nn", "syrk": "ln",
+    "trmm": "llnn", "trsm": "llnn",
+}
+
+#: --config grid: the per-op recommended variant set (reference bar:
+#: test_gpulapack.sh sweeps u AND l per routine; custrmm2_*/custrsm_* logs
+#: cover the side/uplo/trans grid)
+GRID_CFG = {
+    "potrf": ["l", "u"], "potri": ["l", "u"],
+    "trtri": ["ln", "un", "lu", "uu"],
+    "lauum": ["l", "u"], "logdet": ["l", "u"], "logdet_diag": ["auto"],
+    "gemm": ["nn", "nt", "tn", "tt"],
+    "syrk": ["ln", "lt", "un", "ut"],
+    "trmm": ["llnn", "lltn", "lunn", "lutn",
+             "rlnn", "rltn", "runn", "rutn"],
+    "trsm": ["llnn", "lltn", "lunn", "lutn",
+             "rlnn", "rltn", "runn", "rutn"],
+}
+
+
+def norm_cfg(op: str, cfg: str | None) -> str:
+    """Map a recorded config to a variant key.  Pre-round-4 rows stored the
+    BACKEND in "config" (always "auto"); those measured the default
+    variant."""
+    if cfg in GRID_CFG.get(op, ()):
+        return cfg
+    return DEFAULT_CFG.get(op, "auto")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -363,13 +472,24 @@ def main():
     ap.add_argument("--dtype", default="s", choices=list("sdcz"))
     ap.add_argument("--backend", default=None,
                     help="default: auto (pallas/ozaki/embed on tpu)")
+    ap.add_argument("--config", default="default",
+                    help="variant axis: 'default' (one variant per op), "
+                         "'grid' (the per-op GRID_CFG set), or a comma "
+                         "list like 'l,u' / 'llnn,rutn' applied to every "
+                         "selected op")
     ap.add_argument("--out", default="bench_results/sweep.jsonl")
     ap.add_argument("--golden", default=None,
                     help="compare gflops against a golden jsonl (±30%%)")
     ap.add_argument("--resume", action="store_true",
                     help="append to --out, skipping points already present")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the host-CPU platform (smoke runs on a dead "
+                         "tunnel; plain JAX_PLATFORMS=cpu is overridden by "
+                         "the axon sitecustomize — CLAUDE.md rule 5)")
     args = ap.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.dtype in "dz":
         jax.config.update("jax_enable_x64", True)
 
@@ -387,6 +507,15 @@ def main():
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
 
+    def cfgs_for(op):
+        if args.config == "default":
+            return [DEFAULT_CFG[op]]
+        if args.config == "grid":
+            return GRID_CFG[op]
+        want = [c.strip() for c in args.config.split(",") if c.strip()]
+        return [c for c in want if c in GRID_CFG.get(op, ())] or \
+            [DEFAULT_CFG[op]]
+
     done = set()
     results = []
     if args.resume and out_path.exists():
@@ -394,38 +523,43 @@ def main():
             for line in f:
                 r = json.loads(line)
                 results.append(r)
-                done.add((r["op"], r.get("dtype", "s"), r["n"]))
+                done.add((r["op"], r.get("dtype", "s"),
+                          norm_cfg(r["op"], r.get("config")), r["n"]))
 
     fresh = []
     with TaskPool(4) as pool:
         oracle_tasks = []
         for op in ops:
-            for n in sizes:
-                if (op, dt.letter, n) in done:
-                    continue
-                try:
-                    sec, flops, oracle, fpe, info = POINTS[op](n, backend, dt)
-                except Exception as e:
-                    log(f"{op}[{dt.letter}] n={n}: FAILED "
-                        f"{type(e).__name__}: {str(e)[:150]}")
-                    fresh.append({"op": op, "dtype": dt.letter,
-                                  "config": backend, "n": n,
-                                  "passed": False,
-                                  "error": f"{type(e).__name__}"})
-                    continue
-                rec = {"op": op, "dtype": dt.letter, "config": backend,
-                       "n": n, "time_ms": round(sec * 1e3, 3),
-                       "gflops": round(flops / sec / 1e9, 1), "info": info}
-                holder = {}
+            for cfg in cfgs_for(op):
+                for n in sizes:
+                    if (op, dt.letter, cfg, n) in done:
+                        continue
+                    try:
+                        sec, flops, oracle, fpe, info = \
+                            POINTS[op](n, backend, dt, cfg)
+                    except Exception as e:
+                        log(f"{op}[{dt.letter}/{cfg}] n={n}: FAILED "
+                            f"{type(e).__name__}: {str(e)[:150]}")
+                        fresh.append({"op": op, "dtype": dt.letter,
+                                      "config": cfg, "backend": backend,
+                                      "n": n, "passed": False,
+                                      "error": f"{type(e).__name__}"})
+                        continue
+                    rec = {"op": op, "dtype": dt.letter, "config": cfg,
+                           "backend": backend, "n": n,
+                           "time_ms": round(sec * 1e3, 3),
+                           "gflops": round(flops / sec / 1e9, 1),
+                           "info": info}
+                    holder = {}
 
-                def run_oracle(oracle=oracle, holder=holder):
-                    holder["err"], holder["scale"] = oracle()
-                    return 0
+                    def run_oracle(oracle=oracle, holder=holder):
+                        holder["err"], holder["scale"] = oracle()
+                        return 0
 
-                t = pool.run(len(oracle_tasks) % 4, run_oracle)
-                oracle_tasks.append((rec, holder, t, fpe))
-                log(f"{op}[{dt.letter}] n={n}: {rec['gflops']} GF/s "
-                    f"({rec['time_ms']} ms)")
+                    t = pool.run(len(oracle_tasks) % 4, run_oracle)
+                    oracle_tasks.append((rec, holder, t, fpe))
+                    log(f"{op}[{dt.letter}/{cfg}] n={n}: {rec['gflops']} "
+                        f"GF/s ({rec['time_ms']} ms)")
         for rec, holder, t, fpe in oracle_tasks:
             t.join()
             tol = _tol(dt, fpe, holder["scale"], rec["n"])
@@ -447,10 +581,12 @@ def main():
         with open(args.golden) as f:
             for line in f:
                 g = json.loads(line)
-                golden[(g["op"], g.get("dtype", "s"), g["n"])] = g
+                golden[(g["op"], g.get("dtype", "s"),
+                        norm_cfg(g["op"], g.get("config")), g["n"])] = g
         regressions = []
         for r in results:
-            g = golden.get((r["op"], r.get("dtype", "s"), r["n"]))
+            g = golden.get((r["op"], r.get("dtype", "s"),
+                            norm_cfg(r["op"], r.get("config")), r["n"]))
             if g and "gflops" in r and r["gflops"] < 0.7 * g["gflops"]:
                 regressions.append((r["op"], r["n"], r["gflops"], g["gflops"]))
         if regressions:
