@@ -52,13 +52,20 @@ from cholesky_tpu.ops.pallas import leaf as _pl
 from cholesky_tpu.ops.pallas import mega as _pm
 
 
-def _mega_ok(n: int) -> bool:
+def _mega_ok(n: int, op: str = "potrf") -> bool:
     """Can the whole-factorization mega-kernels take this block?
-    n ≤ 1024 runs all-in-VMEM; 1024 < n ≤ 2048 streams 128-row panels
-    through VMEM with the matrix in HBM (ops/pallas/mega.py, r3)."""
+    n ≤ 1024 runs all-in-VMEM; above that, 128-row panels stream through
+    VMEM with the matrix in HBM (ops/pallas/mega.py) up to the smaller of
+    the kernel's hard cap (POTRF_HBM_MAX_N / HBM_MAX_N) and the per-device
+    tuned crossover ``{potrf,trtri}_f32.mega_max_n`` — above the crossover
+    the blocked recursion over mega leaves wins (autotuned on-chip,
+    tools/autotune.py)."""
     if n <= _pm.MAX_N:
         return 0 < n and (n <= _pm.NB or n % _pm.NB == 0)
-    return n <= _pm.HBM_MAX_N and n % _pm.NB == 0
+    from cholesky_tpu.tuning import get_params
+    hard = _pm.POTRF_HBM_MAX_N if op == "potrf" else _pm.HBM_MAX_N
+    cap = min(hard, int(get_params(f"{op}_f32").get("mega_max_n", hard)))
+    return n <= cap and n % _pm.NB == 0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -138,7 +145,8 @@ class _PallasTiles:
     def potf2(self, A):
         # whole-block factorization in ONE kernel: all-in-VMEM to 1024
         # (ops/pallas/mega.py, the spotfimm2 analog), HBM-resident with
-        # streamed panels to 2048 — one dispatch either way
+        # streamed panels to the tuned crossover (≤4096) — one dispatch
+        # either way
         n = A.shape[0]
         if _mega_ok(n):
             if n <= _pm.MAX_N:
@@ -148,7 +156,7 @@ class _PallasTiles:
 
     def trti2(self, A, *, unit=False):
         n = A.shape[0]
-        if _mega_ok(n):
+        if _mega_ok(n, "trtri"):
             kern = _pm.trtri_vmem_f32 if n <= _pm.MAX_N else _pm.trtri_hbm_f32
             if unit:
                 W, info = kern(jnp.tril(A, -1) + jnp.eye(n, dtype=A.dtype))
@@ -197,7 +205,7 @@ class _OzakiTiles(_XlaTiles):
         from cholesky_tpu.ops.ozaki import matmul_f64
         n = A.shape[0]
         A32 = A.astype(jnp.float32)
-        # mega-aware f32 factor (one kernel dispatch up to n=2048)
+        # mega-aware f32 factor (one kernel dispatch up to the HBM cap)
         Lh32, info = _PallasTiles().potf2(A32) if _mega_ok(n) \
             else _pl.potf2_f32(A32)
         # past a frozen failure the leaf leaves raw (<=0, possibly ~0)
@@ -247,8 +255,8 @@ class _OzakiTiles(_XlaTiles):
         from cholesky_tpu.ops.ozaki import matmul_f64
         n = A.shape[0]
         A32 = A.astype(jnp.float32)
-        W32, info = _PallasTiles().trti2(A32, unit=unit) if _mega_ok(n) \
-            else _pl.trti2_f32(A32, unit=unit)
+        W32, info = _PallasTiles().trti2(A32, unit=unit) \
+            if _mega_ok(n, "trtri") else _pl.trti2_f32(A32, unit=unit)
         if unit:
             W32 = jnp.tril(W32, -1) + jnp.eye(n, dtype=jnp.float32)
         W0 = W32.astype(A.dtype)
@@ -608,7 +616,8 @@ def trtri(uplo, diag, A, backend: str = "auto",
     unit = diag == Diag.UNIT
     W = _to_lower(A, uplo)
     # whole-matrix fast path (see potrf): one kernel dispatch
-    if (block_size is None and isinstance(t, _PallasTiles) and _mega_ok(n)):
+    if (block_size is None and isinstance(t, _PallasTiles)
+            and _mega_ok(n, "trtri")):
         R, info = t.trti2(W, unit=unit)
     else:
         Wp, _ = _pad_identity(W, nb)

@@ -48,8 +48,22 @@ NB = 128            # panel width = lane width
 GRP = 16            # pivots per mini-sweep group (on-chip sweep over
                     # {8,16,32} at n=1024: 355/340/355 us — 16 wins)
 MAX_N = 1024        # VMEM budget: matrix + panel temps ≈ 10 MB at 1024
-HBM_MAX_N = 2048    # DMA-panel kernels: matrix stays in HBM, only
-                    # 128-row panels stream through VMEM (r3, VERDICT #3)
+HBM_MAX_N = 4096    # DMA-panel kernels: matrix stays in HBM, only 128-row
+                    # panels stream through VMEM (r3; r4 lifted 2048→4096,
+                    # VERDICT r3 Next #6).  Budget at n=4096: VMEM scratch
+                    # = panel 2 MB + ktile 4 MB (+ acc 2 MB for trtri)
+                    # ≪ 16 MB; DMA traffic ≈ n³/(3·NB) elements ≈ 0.7 GB
+                    # ≈ 0.9 ms at HBM rate vs ≈ 1.1 ms of HIGHEST-precision
+                    # MXU time — the same left-looking reads the blocked
+                    # recursion pays anyway, without its extra dispatches.
+                    # The runtime crossover vs the blocked recursion is
+                    # tunable per device (tuning key potrf_f32.mega_max_n).
+POTRF_HBM_MAX_N = 8192  # potrf only (r4): its fori k-loop keeps code size
+                    # O(npanels) and its VMEM scratch at 8192 is panel
+                    # 4 MB + ktile 8 MB ≈ 12 MB; trtri stays at HBM_MAX_N
+                    # (its acc buffer adds another (NB, n) tile, and its
+                    # unrolled k-loop slices panel_ref at lane offsets that
+                    # a fori version would make dynamic — forbidden).
 
 _HI = dict(preferred_element_type=jnp.float32,
            precision=lax.Precision.HIGHEST)
@@ -258,7 +272,15 @@ def _potrf_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref, t_ref,
 
     Freeze semantics (reference spotrf.c:112-115): once info ≠ 0, later
     panels are simply never written back — the aliased HBM buffer keeps
-    the raw input values, exactly the VMEM kernel's frozen state."""
+    the raw input values, exactly the VMEM kernel's frozen state.
+
+    The k-loop is a ``fori_loop`` (r4): the round-3 version unrolled it in
+    Python, which is O(npanels²) Mosaic code — fine at 16 panels (2048)
+    but prohibitive at 32–64 (4096–8192). Inside the loop every dynamic
+    offset is SUBLANE-dim (row DMA source, leading buffer-slot index) —
+    the lane-dim offsets (``base``, ``w``) stay static per panel, which is
+    why the outer panel loop must remain Python-unrolled (dynamic lane
+    slices are forbidden — CLAUDE.md Mosaic rule 3)."""
     npanels = n // NB
     rows_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 0)
     cols_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 1)
@@ -277,24 +299,33 @@ def _potrf_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref, t_ref,
         pcp.start()
         pcp.wait()
         # subtract every factored row block's contribution, double-buffered
-        started = {}
+        # (the guide's DMA pipeline pattern: traced slot index into the
+        # 2-buffer scratch and its per-slot semaphore)
         if jp > 0:
-            started[0] = pltpu.make_async_copy(
-                o_ref.at[pl.ds(0, NB), pl.ds(base, w)],
-                ktile_ref.at[0, :, pl.ds(0, w)], sems.at[1])
-            started[0].start()
-        for kb in range(jp):
-            cur = kb % 2
-            started.pop(kb).wait()
-            if kb + 1 < jp:
-                started[kb + 1] = pltpu.make_async_copy(
-                    o_ref.at[pl.ds((kb + 1) * NB, NB), pl.ds(base, w)],
-                    ktile_ref.at[(kb + 1) % 2, :, pl.ds(0, w)],
-                    sems.at[1 + (kb + 1) % 2])
-                started[kb + 1].start()
-            Kt = ktile_ref[cur, :, :w]
-            panel_ref[:, :w] = panel_ref[:, :w] - lax.dot_general(
-                Kt[:, :NB], Kt, _TT, **_HI)
+
+            def get_k(slot, kb):
+                return pltpu.make_async_copy(
+                    o_ref.at[pl.ds(kb * NB, NB), pl.ds(base, w)],
+                    ktile_ref.at[slot, :, pl.ds(0, w)],
+                    sems.at[1 + slot])
+
+            get_k(jnp.int32(0), jnp.int32(0)).start()
+
+            def kbody(kb, _, w=w, jp=jp, get_k=get_k):
+                two = jnp.int32(2)      # x64-safe (CLAUDE.md Mosaic rule 3)
+                cur = lax.rem(kb, two)
+
+                @pl.when(kb + 1 < jp)
+                def _():
+                    get_k(lax.rem(kb + jnp.int32(1), two), kb + 1).start()
+
+                get_k(cur, kb).wait()
+                Kt = ktile_ref[cur, :, :w]
+                panel_ref[:, :w] = panel_ref[:, :w] - lax.dot_general(
+                    Kt[:, :NB], Kt, _TT, **_HI)
+                return jnp.int32(0)
+
+            lax.fori_loop(jnp.int32(0), jnp.int32(jp), kbody, jnp.int32(0))
         # factor the diagonal tile (grouped mini-sweep, freeze-aware)
         t_ref[:] = panel_ref[:, :NB]
         info_before = info
@@ -325,22 +356,22 @@ def _potrf_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref, t_ref,
 
 @jax.jit
 def potrf_hbm_f32(A):
-    """Lower Cholesky for 1024 < n ≤ HBM_MAX_N in ONE kernel, matrix in
-    HBM with streamed 128-row panels; returns (L, info), strict upper
+    """Lower Cholesky for 1024 < n ≤ POTRF_HBM_MAX_N in ONE kernel, matrix
+    in HBM with streamed 128-row panels; returns (L, info), strict upper
     zeroed. Only the lower triangle of ``A`` is read. Same contract as
     :func:`potrf_vmem_f32` (the spotfimm2 analog, reference
     lapack/spotrf.cu:200-318, whose fusion is grid-wide — this kernel
     removes the VMEM size cap the round-2 version had)."""
     n = A.shape[0]
     assert A.shape == (n, n) and A.dtype == jnp.float32
-    assert n % NB == 0 and n <= HBM_MAX_N, (n, HBM_MAX_N)
+    assert n % NB == 0 and n <= POTRF_HBM_MAX_N, (n, POTRF_HBM_MAX_N)
     Afull = jnp.tril(A) + jnp.tril(A, -1).T     # symmetric: upper == lowerᵀ
     U, info = pl.pallas_call(
         functools.partial(_potrf_hbm_kernel, n=n),
         out_shape=(out_struct((n, n), jnp.float32, A),
                    out_struct((1, 1), jnp.int32, A)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.VMEM((NB, n), jnp.float32),
                         pltpu.VMEM((2, NB, n), jnp.float32),
@@ -497,8 +528,8 @@ def trtri_hbm_f32(A):
         functools.partial(_trtri_hbm_kernel, n=n),
         out_shape=(out_struct((n, n), jnp.float32, A),
                    out_struct((1, 1), jnp.int32, A)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.VMEM((NB, n), jnp.float32),
                         pltpu.VMEM((2, NB, n), jnp.float32),

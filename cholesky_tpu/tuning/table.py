@@ -53,7 +53,11 @@ DEFAULTS = {
     "matmul_f32": {"bm": 256, "bn": 256, "bk": 512},
     "syrk_f32": {"bn": 256, "bk": 512},
     "trmm_f32": {"bn": 256, "bm": 512},
-    "potrf_f32": {"leaf_nb": 128},
+    # mega_max_n: largest n routed to the single-dispatch HBM mega kernel
+    # (ops/pallas/mega.py); above it the blocked recursion over mega
+    # leaves wins. Autotuned on-chip (tools/autotune.py).
+    "potrf_f32": {"leaf_nb": 128, "mega_max_n": 8192},
+    "trtri_f32": {"mega_max_n": 4096},
 }
 
 

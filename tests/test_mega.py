@@ -97,8 +97,32 @@ def test_blocked_dispatch_uses_mega():
     assert blocked._mega_ok(2048)     # r3: HBM-panel kernel reach
     assert blocked._mega_ok(1280)
     assert not blocked._mega_ok(2049)
-    assert not blocked._mega_ok(4096)  # beyond HBM_MAX_N
+    assert blocked._mega_ok(4096)     # r4: potrf HBM cap lifted
+    assert blocked._mega_ok(8192)     # r4: fori k-loop reaches 8192
+    assert not blocked._mega_ok(8320)  # beyond POTRF_HBM_MAX_N
+    assert blocked._mega_ok(4096, "trtri")
+    assert not blocked._mega_ok(4224, "trtri")  # trtri cap stays 4096
+    assert not blocked._mega_ok(8192, "trtri")
     assert not blocked._mega_ok(192)  # not a multiple of 128, > 128
+
+
+def test_mega_crossover_tunable(monkeypatch):
+    # the HBM crossover honors the per-device tuning key mega_max_n
+    # (VERDICT r3 Next #6: autotune decides where the mono-kernel stops
+    # winning over the blocked recursion)
+    from cholesky_tpu import tuning
+    orig = tuning.get_params
+
+    def fake(op, device_kind=None):
+        p = orig(op, device_kind)
+        if op == "potrf_f32":
+            p["mega_max_n"] = 2048
+        return p
+
+    monkeypatch.setattr("cholesky_tpu.tuning.get_params", fake)
+    assert blocked._mega_ok(2048)
+    assert not blocked._mega_ok(2176)
+    assert blocked._mega_ok(1024)   # VMEM tier unaffected
 
 
 @pytest.mark.parametrize("unit", [False, True])
@@ -129,7 +153,8 @@ def test_blocked_trti2_mega_unit(unit):
 # HBM-panel mega kernels (r3): matrix in HBM, 128-row panels through VMEM
 # --------------------------------------------------------------------------
 
-@pytest.mark.parametrize("n", [1280, pytest.param(2048, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("n", [1280, pytest.param(2048, marks=pytest.mark.slow),
+                               pytest.param(2560, marks=pytest.mark.slow)])
 def test_potrf_hbm(n):
     A = spd(n)
     L, info = mega.potrf_hbm_f32(A)
@@ -159,7 +184,8 @@ def test_potrf_hbm_only_lower_read_and_freeze():
                  8 * n, "potrf_hbm frozen leading block")
 
 
-@pytest.mark.parametrize("n", [1280, pytest.param(2048, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("n", [1280, pytest.param(2048, marks=pytest.mark.slow),
+                               pytest.param(2560, marks=pytest.mark.slow)])
 def test_trtri_hbm(n):
     F, _ = mega.potrf_hbm_f32(spd(n))     # factor: condition ~sqrt(cond)
     W, info = mega.trtri_hbm_f32(F)

@@ -136,6 +136,52 @@ def tune_potrf_leaf(n=4096, quick=False):
     return best, (n ** 3 / 3) / best_t / 1e9
 
 
+def tune_mega_crossover(leaf_nb, quick=False, op="potrf"):
+    """Largest n the single-dispatch HBM mega kernel should own (the
+    mega_max_n tuning key, VERDICT r3 Next #6): time the mono-kernel
+    against the blocked recursion (block_size forces the recursion path)
+    and stop at the first size the recursion wins."""
+    from cholesky_tpu.rng import latmc
+    from cholesky_tpu.ops.pallas import mega as pmega
+    if op == "potrf":
+        hard = pmega.POTRF_HBM_MAX_N
+        mono = lambda x: pmega.potrf_hbm_f32(x)[0]
+        rec = lambda x: blocked.potrf("L", x, backend="pallas",
+                                      block_size=leaf_nb)[0]
+        sizes = (2048, 4096, 8192) if quick else (2048, 3072, 4096, 6144,
+                                                  8192)
+        flops = lambda n: n ** 3 / 3
+    else:
+        hard = pmega.HBM_MAX_N
+        mono = lambda x: pmega.trtri_hbm_f32(x)[0]
+        rec = lambda x: blocked.trtri("L", "N", x, backend="pallas",
+                                      block_size=leaf_nb)[0]
+        sizes = (2048, 4096) if quick else (2048, 3072, 4096)
+        flops = lambda n: n ** 3 / 3
+    cap = pmega.MAX_N        # the VMEM tier is mono-kernel by construction
+    for n in sizes:
+        if n > hard or n % pmega.NB:
+            break
+        A = latmc(jax.random.PRNGKey(5), n, 50.0, jnp.float32)
+        if op == "trtri":
+            A = jnp.tril(blocked.potrf("L", A, backend="pallas")[0])
+        try:
+            t_mono = bench_op(mono, A, chain=16)
+        except Exception as e:
+            log(f"  mega {op} n={n}: mono FAILED {str(e)[:80]}")
+            break
+        t_rec = bench_op(rec, A, chain=16)
+        gf = flops(n) / 1e9
+        log(f"  mega {op} n={n}: mono {gf / t_mono:.0f} vs recursion "
+            f"{gf / t_rec:.0f} GF/s")
+        if t_mono <= t_rec:
+            cap = n
+        else:
+            break
+    log(f"mega {op} crossover: mega_max_n={cap}")
+    return cap
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -151,7 +197,10 @@ def main():
     tm, tm_tf = tune_trmm(quick=args.quick)
     table["trmm_f32"] = tm
     pf, pf_gf = tune_potrf_leaf(quick=args.quick)
+    pf["mega_max_n"] = tune_mega_crossover(pf["leaf_nb"], quick=args.quick)
     table["potrf_f32"] = pf
+    table["trtri_f32"] = {"mega_max_n": tune_mega_crossover(
+        pf["leaf_nb"], quick=args.quick, op="trtri")}
     table["_meta"] = {"device_kind": kind,
                       "matmul_tflops": round(mm_tf, 2),
                       "syrk_useful_tflops": round(sy_tf, 2),
@@ -160,10 +209,21 @@ def main():
 
     path = table_path(kind)
     path.parent.mkdir(parents=True, exist_ok=True)
+    # merge into any existing table: keep keys (incl. _meta extras like
+    # recorded headline numbers) this run did not re-measure
+    merged = {}
+    if path.exists():
+        with open(path) as f:
+            merged = json.load(f)
+    for k, v in table.items():
+        if isinstance(v, dict):
+            merged.setdefault(k, {}).update(v)
+        else:
+            merged[k] = v
     with open(path, "w") as f:
-        json.dump(table, f, indent=2, sort_keys=True)
+        json.dump(merged, f, indent=2, sort_keys=True)
     log(f"wrote {path}")
-    print(json.dumps(table))
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":
