@@ -420,15 +420,23 @@ def _force_unit_diag(T):
     return T - jnp.diag(jnp.diag(T)) + jnp.eye(n, dtype=T.dtype)
 
 
-def _potrf_lower(A, t, nb):
+def _potrf_lower(A, t, nb, allow_mega=False):
     n = A.shape[0]
     if n <= nb:
         return t.potf2(A)
+    # intermediate-diagonal mono-kernel route (r4): past the top-level
+    # crossover, the recursion's diagonal sub-factors re-enter the mega
+    # kernels as soon as they fit — e.g. n=16384 runs as two 8192 mono
+    # dispatches + one trsm + one syrk instead of recursing to 256-leaves.
+    # Off for explicit block_size (autotune forces pure recursion that way
+    # to measure the crossover, tools/autotune.py tune_mega_crossover).
+    if allow_mega and isinstance(t, _PallasTiles) and _mega_ok(n):
+        return t.potf2(A)
     n1 = _split(n, nb)
-    L11, i1 = _potrf_lower(A[:n1, :n1], t, nb)
+    L11, i1 = _potrf_lower(A[:n1, :n1], t, nb, allow_mega)
     L21 = _trsm_rlt(L11, A[n1:, :n1], t, nb)
     A22 = t.syrk_ln(-1.0, L21, 1.0, A[n1:, n1:])
-    L22, i2 = _potrf_lower(A22, t, nb)
+    L22, i2 = _potrf_lower(A22, t, nb, allow_mega)
     top = jnp.concatenate([L11, jnp.zeros((n1, n - n1), A.dtype)], axis=1)
     bot = jnp.concatenate([L21, L22], axis=1)
     out = jnp.concatenate([top, bot], axis=0)
@@ -438,13 +446,16 @@ def _potrf_lower(A, t, nb):
 
 
 
-def _trtri_lower(L, t, nb, unit):
+def _trtri_lower(L, t, nb, unit, allow_mega=False):
     n = L.shape[0]
     if n <= nb:
         return t.trti2(L, unit=unit)
+    # intermediate-diagonal mono-kernel route (see _potrf_lower)
+    if allow_mega and isinstance(t, _PallasTiles) and _mega_ok(n, "trtri"):
+        return t.trti2(L, unit=unit)
     n1 = _split(n, nb)
-    W1, i1 = _trtri_lower(L[:n1, :n1], t, nb, unit)
-    W2, i2 = _trtri_lower(L[n1:, n1:], t, nb, unit)
+    W1, i1 = _trtri_lower(L[:n1, :n1], t, nb, unit, allow_mega)
+    W2, i2 = _trtri_lower(L[n1:, n1:], t, nb, unit, allow_mega)
     W1e = _force_unit_diag(W1) if unit else W1
     W2e = _force_unit_diag(W2) if unit else W2
     # M' = -W₂·M·W₁   (reference strtri.c column-update scheme, collapsed)
@@ -549,7 +560,7 @@ def potrf(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
         return _merge_triangle(_from_lower(F, uplo), A, uplo), info
     W = _to_lower(A, uplo)
     Wp, _ = _pad_identity(W, nb)
-    F, info = _potrf_lower(Wp, t, nb)
+    F, info = _potrf_lower(Wp, t, nb, allow_mega=block_size is None)
     F = F[:n, :n]
     return _merge_triangle(_from_lower(F, uplo), A, uplo), info
 
@@ -621,7 +632,8 @@ def trtri(uplo, diag, A, backend: str = "auto",
         R, info = t.trti2(W, unit=unit)
     else:
         Wp, _ = _pad_identity(W, nb)
-        R, info = _trtri_lower(Wp, t, nb, unit)
+        R, info = _trtri_lower(Wp, t, nb, unit,
+                               allow_mega=block_size is None)
         R = R[:n, :n]
     if unit:
         # LAPACK contract: unit-diagonal entries pass through untouched

@@ -125,6 +125,43 @@ def test_mega_crossover_tunable(monkeypatch):
     assert blocked._mega_ok(1024)   # VMEM tier unaffected
 
 
+@pytest.mark.slow
+def test_recursion_reenters_mega_at_intermediate_diagonals(monkeypatch):
+    """Past the top-level crossover the recursion's diagonal sub-factors
+    must re-enter the mono kernels as soon as they fit (r4): with the
+    crossover pinned to 2048, public potrf at 2560 must run as TWO
+    1280-sized HBM mega dispatches (plus trsm/syrk), not recurse to
+    256-leaves."""
+    from cholesky_tpu import tuning
+    orig = tuning.get_params
+
+    def fake(op, device_kind=None):
+        p = orig(op, device_kind)
+        if op == "potrf_f32":
+            p["mega_max_n"] = 2048
+        return p
+
+    monkeypatch.setattr("cholesky_tpu.tuning.get_params", fake)
+    calls = []
+    orig_hbm = mega.potrf_hbm_f32
+
+    def spy(A):
+        calls.append(A.shape[0])
+        return orig_hbm(A)
+
+    monkeypatch.setattr(blocked._pm, "potrf_hbm_f32", spy)
+    n = 2560
+    A = spd(n, cond=20.0)
+    F, info = blocked.potrf("L", A, backend="pallas")
+    assert int(info) == 0
+    assert calls == [1280, 1280], calls
+    Ln = np.asarray(F, np.float64)
+    An = np.asarray(A, np.float64)
+    ref = np.linalg.cholesky(np.tril(An) + np.tril(An, -1).T)
+    assert_close(np.tril(Ln), ref, jnp.float32, 8 * n,
+                 "intermediate-mega potrf")
+
+
 @pytest.mark.parametrize("unit", [False, True])
 def test_blocked_trti2_mega_unit(unit):
     # the unit-diag path through _PallasTiles.trti2 must preserve the
