@@ -60,10 +60,10 @@ HBM_MAX_N = 4096    # DMA-panel kernels: matrix stays in HBM, only 128-row
                     # tunable per device (tuning key potrf_f32.mega_max_n).
 POTRF_HBM_MAX_N = 8192  # potrf only (r4): its fori k-loop keeps code size
                     # O(npanels) and its VMEM scratch at 8192 is panel
-                    # 4 MB + ktile 8 MB ≈ 12 MB; trtri stays at HBM_MAX_N
-                    # (its acc buffer adds another (NB, n) tile, and its
-                    # unrolled k-loop slices panel_ref at lane offsets that
-                    # a fori version would make dynamic — forbidden).
+                    # 4 MB + ktile 8 MB ≈ 12 MB; trtri (also fori in r4,
+                    # via the bpanel block re-layout) stays at HBM_MAX_N —
+                    # its bpanel scratch would push 8192 to ≈ 16 MB, over
+                    # the chip's VMEM.
 
 _HI = dict(preferred_element_type=jnp.float32,
            precision=lax.Precision.HIGHEST)
@@ -450,8 +450,8 @@ def trtri_vmem_f32(A):
     return V.T, info[0, 0]
 
 
-def _trtri_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref, acc_ref,
-                      sems, *, n):
+def _trtri_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref,
+                      bpanel_ref, sems, *, n):
     """Upper-triangular inverse with the matrix in HBM (the trtri twin of
     :func:`_potrf_hbm_kernel`): bottom-up row panels, each updated by one
     DMA + matmul per already-inverted trailing row block (double-
@@ -460,7 +460,16 @@ def _trtri_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref, acc_ref,
     original matrix — each row is read exactly once before overwrite
     (same invariant as the VMEM kernel). No freeze: a zero diagonal sets
     info and is clamped to 1, as in the VMEM kernel / reference xtrtri
-    (lapack/strtri.c:12-40)."""
+    (lapack/strtri.c:12-40).
+
+    The k-loop is a ``fori_loop`` (r4, same reason as the potrf kernel:
+    O(npanels) code instead of O(npanels²)).  The loop multiplies by
+    NB-wide column blocks of the panel, and a dynamic lane slice is
+    forbidden — so the panel's trailing columns are re-laid into a
+    per-block scratch ``bpanel_ref`` with STATIC lane slices (one cheap
+    VMEM vector copy per block), and the loop indexes blocks by the
+    always-legal leading dimension.  The panel's trailing region then
+    doubles as the accumulator (its B content lives on in bpanel)."""
     npanels = n // NB
     rows_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 0)
     cols_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 1)
@@ -481,30 +490,42 @@ def _trtri_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref, acc_ref,
         T, info = _utri_diag_info(T, base, info, rows_t, cols_t, crow_t, NB)
         X = _newton_uinv(T, rows_t, cols_t, eye_t)
         if m > 0:
-            # acc = B · V_trail, accumulated one V row block at a time
-            started = {}
             k0 = jp + 1
-            started[k0] = pltpu.make_async_copy(
-                o_ref.at[pl.ds(k0 * NB, NB), pl.ds(base + NB, m)],
-                ktile_ref.at[0, :, pl.ds(0, m)], sems.at[1])
-            started[k0].start()
-            acc_ref[:, :m] = jnp.zeros((NB, m), jnp.float32)
-            for kb in range(k0, npanels):
-                cur = (kb - k0) % 2
-                started.pop(kb).wait()
-                if kb + 1 < npanels:
-                    started[kb + 1] = pltpu.make_async_copy(
-                        o_ref.at[pl.ds((kb + 1) * NB, NB),
-                                 pl.ds(base + NB, m)],
-                        ktile_ref.at[(kb - k0 + 1) % 2, :, pl.ds(0, m)],
-                        sems.at[1 + (kb - k0 + 1) % 2])
-                    started[kb + 1].start()
-                Bk = panel_ref[:, kb * NB - base:(kb + 1) * NB - base]
-                acc_ref[:, :m] = acc_ref[:, :m] + lax.dot_general(
+            nk = npanels - k0
+            # blocked re-layout of the panel's trailing columns: static
+            # lane slices only (lane offsets are python ints here)
+            for kl in range(nk):
+                bpanel_ref[kl] = panel_ref[:, NB + kl * NB:NB + (kl + 1) * NB]
+
+            def get_k(slot, i, base=base, m=m, k0=k0):
+                # trailing V row block k0+i (absolute rows), live columns
+                return pltpu.make_async_copy(
+                    o_ref.at[pl.ds((i + k0) * NB, NB), pl.ds(base + NB, m)],
+                    ktile_ref.at[slot, :, pl.ds(0, m)],
+                    sems.at[1 + slot])
+
+            get_k(jnp.int32(0), jnp.int32(0)).start()
+            # the panel's trailing region becomes the accumulator
+            panel_ref[:, NB:w] = jnp.zeros((NB, m), jnp.float32)
+
+            def kbody(i, _, w=w, m=m, nk=nk, get_k=get_k):
+                two = jnp.int32(2)
+                cur = lax.rem(i, two)
+
+                @pl.when(i + 1 < nk)
+                def _():
+                    get_k(lax.rem(i + jnp.int32(1), two), i + 1).start()
+
+                get_k(cur, i).wait()
+                Bk = bpanel_ref[i]
+                panel_ref[:, NB:w] = panel_ref[:, NB:w] + lax.dot_general(
                     Bk, ktile_ref[cur, :, :m], (((1,), (0,)), ((), ())),
                     **_HI)
+                return jnp.int32(0)
+
+            lax.fori_loop(jnp.int32(0), jnp.int32(nk), kbody, jnp.int32(0))
             panel_ref[:, NB:w] = -lax.dot_general(
-                X, acc_ref[:, :m], (((1,), (0,)), ((), ())), **_HI)
+                X, panel_ref[:, NB:w], (((1,), (0,)), ((), ())), **_HI)
         panel_ref[:, :NB] = X
         scp = pltpu.make_async_copy(
             panel_ref.at[:, pl.ds(0, w)],
@@ -533,7 +554,8 @@ def trtri_hbm_f32(A):
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.VMEM((NB, n), jnp.float32),
                         pltpu.VMEM((2, NB, n), jnp.float32),
-                        pltpu.VMEM((NB, n), jnp.float32),
+                        pltpu.VMEM((max(1, n // NB - 1), NB, NB),
+                                   jnp.float32),
                         pltpu.SemaphoreType.DMA((3,))],
         input_output_aliases={0: 0},
         interpret=config.pallas_interpret(),

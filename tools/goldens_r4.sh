@@ -44,18 +44,38 @@ import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_autotune_cache")
 from cholesky_tpu.ops.pallas import mega
 from cholesky_tpu.rng import latmc
+hp = jax.lax.Precision.HIGHEST
 for n in (3072, 4096, 8192):
     A = latmc(jax.random.PRNGKey(0), n, 50.0, jnp.float32)
     L, info = mega.potrf_hbm_f32(A)
     assert int(info) == 0, int(info)
     v = jax.random.normal(jax.random.PRNGKey(1), (n, 8), jnp.float32)
-    hp = jax.lax.Precision.HIGHEST
     Lm = jnp.tril(L)
-    r = jnp.linalg.norm(Lm @ (Lm.T @ v) - A @ v) / jnp.linalg.norm(A @ v)
-    r = float(jax.jit(lambda: r)())
+
+    @jax.jit
+    def resid(Lm, A, v):
+        Av = jnp.matmul(A, v, precision=hp)
+        num = jnp.matmul(Lm, jnp.matmul(Lm.T, v, precision=hp),
+                         precision=hp) - Av
+        return jnp.linalg.norm(num) / jnp.linalg.norm(Av)
+
+    r = float(resid(Lm, A, v))
     print(f"mega potrf_hbm n={n}: proj resid {r:.2e}", flush=True)
     assert r < 1e-5, r
-print("mega4096 probe OK")
+    if n <= mega.HBM_MAX_N:
+        W, info2 = mega.trtri_hbm_f32(Lm)
+        assert int(info2) == 0
+
+        @jax.jit
+        def tresid(W, Lm, v):
+            Wv = jnp.matmul(jnp.tril(W),
+                            jnp.matmul(Lm, v, precision=hp), precision=hp)
+            return jnp.linalg.norm(Wv - v) / jnp.linalg.norm(v)
+
+        rt = float(tresid(W, Lm, v))
+        print(f"mega trtri_hbm n={n}: proj resid {rt:.2e}", flush=True)
+        assert rt < 1e-4, rt
+print("mega probe OK")
 EOF
 timeout 2400 python tools/autotune.py --quick || echo "(autotune exited $?)"
 

@@ -80,6 +80,37 @@ def probes():
                               - np.eye(256)))
         return resid < 1e-3 and int(info) == 0, f"resid={resid:.2e}"
 
+    def p_mega_potrf_hbm():
+        # the r4 fori-k-loop HBM kernel: the gate size 1280 (10 panels)
+        # exercises the double-buffered DMA loop the VMEM kernel lacks
+        Ah = generators.latmc(jax.random.PRNGKey(2), 1280, 50.0,
+                              jnp.float32)
+        L, info = _force(jax.jit(mega.potrf_hbm_f32)(Ah))
+        Ahn = np.asarray(Ah, np.float64)
+        refh = np.linalg.cholesky(np.tril(Ahn) + np.tril(Ahn, -1).T)
+        err = np.max(np.abs(np.asarray(L, np.float64) - refh))
+        return err < 1e-2 and int(info) == 0, f"err={err:.2e}"
+
+    def p_mega_trtri_hbm():
+        Ah = generators.latmc(jax.random.PRNGKey(2), 1280, 50.0,
+                              jnp.float32)
+        Ahn = np.asarray(Ah, np.float64)
+        refh = np.linalg.cholesky(np.tril(Ahn) + np.tril(Ahn, -1).T)
+        F = jnp.asarray(refh.astype(np.float32))
+        W, info = _force(jax.jit(mega.trtri_hbm_f32)(F))
+        resid = np.max(np.abs(np.asarray(W, np.float64) @ refh
+                              - np.eye(1280)))
+        return resid < 1e-2 and int(info) == 0, f"resid={resid:.2e}"
+
+    def p_trmm():
+        from cholesky_tpu.ops.pallas import trmm as ptrmm
+        B = jax.random.normal(jax.random.PRNGKey(3), (256, 256), jnp.float32)
+        F = jnp.asarray(ref_chol.astype(np.float32))
+        D = _force(jax.jit(ptrmm.trmm_lln_f32)(F, B))
+        ref = ref_chol @ np.asarray(B, np.float64)
+        err = np.max(np.abs(np.asarray(D, np.float64) - ref))
+        return err < 1e-2 * np.max(np.abs(ref)), f"err={err:.2e}"
+
     def p_gemm():
         B = jax.random.normal(jax.random.PRNGKey(1), (256, 256), jnp.float32)
         D = _force(jax.jit(gemm.matmul_f32)(A, B))
@@ -133,7 +164,10 @@ def probes():
 
     return [("leaf.potf2_f32", p_potf2), ("leaf.trti2_f32", p_trti2),
             ("leaf.lauu2_f32", p_lauu2), ("mega.potrf_vmem_f32", p_mega_potrf),
-            ("mega.trtri_vmem_f32", p_mega_trtri), ("gemm.matmul_f32", p_gemm),
+            ("mega.trtri_vmem_f32", p_mega_trtri),
+            ("mega.potrf_hbm_f32", p_mega_potrf_hbm),
+            ("mega.trtri_hbm_f32", p_mega_trtri_hbm),
+            ("trmm.trmm_lln_f32", p_trmm), ("gemm.matmul_f32", p_gemm),
             ("syrk.syrk_f32", p_syrk), ("ozaki.matmul_f64", p_ozaki),
             ("pallas_prng.uniform_device", p_prng),
             ("pallas_prng.uniform_device64", p_prng64)]
@@ -142,8 +176,13 @@ def probes():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench_results/smoke_tpu.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the host-CPU platform (interpret-mode script "
+                         "check on a dead tunnel; CLAUDE.md rule 5)")
     args = ap.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     backend = jax.default_backend()
     results = {"backend": backend, "ts": time.time(), "kernels": {}}
     failed = []
