@@ -63,7 +63,8 @@ def _mega_ok(n: int, op: str = "potrf") -> bool:
     if n <= _pm.MAX_N:
         return 0 < n and (n <= _pm.NB or n % _pm.NB == 0)
     from cholesky_tpu.tuning import get_params
-    hard = _pm.POTRF_HBM_MAX_N if op == "potrf" else _pm.HBM_MAX_N
+    hard = {"potrf": _pm.POTRF_HBM_MAX_N,
+            "lauum": _pm.LAUUM_HBM_MAX_N}.get(op, _pm.HBM_MAX_N)
     cap = min(hard, int(get_params(f"{op}_f32").get("mega_max_n", hard)))
     return n <= cap and n % _pm.NB == 0
 
@@ -469,18 +470,23 @@ def _trtri_lower(L, t, nb, unit, allow_mega=False):
     return out, info
 
 
-def _lauum_lower(L, t, nb):
+def _lauum_lower(L, t, nb, allow_mega=False):
     n = L.shape[0]
     if n <= nb:
         return t.lauu2(L)
+    # whole-diagonal mono-kernel route (see _potrf_lower); lauum's mono
+    # kernel is HBM-only, so require a 128-multiple explicitly
+    if (allow_mega and isinstance(t, _PallasTiles)
+            and n % _pm.NB == 0 and _mega_ok(n, "lauum")):
+        return _pm.lauum_hbm_f32(L)
     n1 = _split(n, nb)
     M, L2 = L[n1:, :n1], L[n1:, n1:]
-    B11 = _lauum_lower(L[:n1, :n1], t, nb)
+    B11 = _lauum_lower(L[:n1, :n1], t, nb, allow_mega)
     conjM = M.conj() if is_complex(L.dtype) else M
     B11 = t.syrk_ln(1.0, conjM.T, 1.0, B11)           # B11 += MᴴM
     L2t = jnp.tril(L2)
     B21 = t.mm(L2t, M, ta="C" if is_complex(L.dtype) else "T")  # L₂ᴴ·M
-    B22 = _lauum_lower(L2, t, nb)
+    B22 = _lauum_lower(L2, t, nb, allow_mega)
     top = jnp.concatenate([B11, jnp.zeros((n1, n - n1), L.dtype)], axis=1)
     bot = jnp.concatenate([B21, B22], axis=1)
     return jnp.concatenate([top, bot], axis=0)
@@ -663,7 +669,8 @@ def lauum(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
         return A
     W = _to_lower(A, uplo)
     Wp, _ = _pad_identity(W, nb)
-    R = _lauum_lower(Wp, t, nb)[:n, :n]
+    R = _lauum_lower(Wp, t, nb,
+                     allow_mega=block_size is None)[:n, :n]
     return _merge_triangle(_from_lower(R, uplo), A, uplo)
 
 

@@ -58,6 +58,8 @@ HBM_MAX_N = 4096    # DMA-panel kernels: matrix stays in HBM, only 128-row
                     # recursion pays anyway, without its extra dispatches.
                     # The runtime crossover vs the blocked recursion is
                     # tunable per device (tuning key potrf_f32.mega_max_n).
+LAUUM_HBM_MAX_N = 8192  # lauum mono kernel (r4): panel 4 MB + ktile 8 MB
+                    # at 8192; lower-form row-panel k-stream, no info.
 POTRF_HBM_MAX_N = 8192  # potrf only (r4): its fori k-loop keeps code size
                     # O(npanels) and its VMEM scratch at 8192 is panel
                     # 4 MB + ktile 8 MB ≈ 12 MB; trtri (also fori in r4,
@@ -383,6 +385,78 @@ def potrf_hbm_f32(A):
     # the upper-form factor U lives in the panel rows; everything below
     # (frozen raw input past a failure) is masked at the XLA level
     return jnp.tril(U.T), info[0, 0]
+
+
+def _lauum_hbm_kernel(a_ref, o_ref, panel_ref, ktile_ref, sems, *, n):
+    """tril(Lᵀ·L) with the matrix in HBM — the lauum member of the
+    mono-kernel family (reference slauum.c:197-305 collapsed to one
+    dispatch).  Works directly in the LOWER form: row panel p of the
+    result needs  B[p, 0:(p+1)·NB] = Σ_{k≥p} L[k, p·NB:(p+1)·NB]ᵀ ·
+    L[k, 0:(p+1)·NB], so the k-stream walks ROW blocks — every dynamic
+    offset is sublane-dim (DMA row source, buffer slot); the lane ranges
+    (columns 0..(p+1)·NB and the p-block) are static per panel.  TOP-DOWN
+    in place: panel p is overwritten only after its own k-loop consumed
+    row p, and later panels read only rows below themselves (untouched).
+    Strict-upper input blocks must be zero (the wrapper tril's), so the
+    q < k terms vanish automatically and the sum needs no masking."""
+    npanels = n // NB
+    for p in range(npanels):
+        base = p * NB
+        wc = base + NB               # live output columns of row panel p
+        nk = npanels - p
+
+        def get_k(slot, i, base=base, wc=wc):
+            return pltpu.make_async_copy(
+                o_ref.at[pl.ds(base + i * NB, NB), pl.ds(0, wc)],
+                ktile_ref.at[slot, :, pl.ds(0, wc)],
+                sems.at[1 + slot])
+
+        get_k(jnp.int32(0), jnp.int32(0)).start()
+        panel_ref[:, :wc] = jnp.zeros((NB, wc), jnp.float32)
+
+        def kbody(i, _, wc=wc, base=base, nk=nk, get_k=get_k):
+            two = jnp.int32(2)
+            cur = lax.rem(i, two)
+
+            @pl.when(i + 1 < nk)
+            def _():
+                get_k(lax.rem(i + jnp.int32(1), two), i + 1).start()
+
+            get_k(cur, i).wait()
+            Kt = ktile_ref[cur, :, :wc]
+            panel_ref[:, :wc] = panel_ref[:, :wc] + lax.dot_general(
+                Kt[:, base:wc], Kt, _TT, **_HI)
+            return jnp.int32(0)
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(nk), kbody, jnp.int32(0))
+        scp = pltpu.make_async_copy(
+            panel_ref.at[:, pl.ds(0, wc)],
+            o_ref.at[pl.ds(base, NB), pl.ds(0, wc)], sems.at[0])
+        scp.start()
+        scp.wait()
+
+
+@jax.jit
+def lauum_hbm_f32(A):
+    """tril(LᵀL) for n % 128 == 0, n ≤ LAUUM_HBM_MAX_N, in ONE kernel
+    with the matrix in HBM; returns the product with the strict upper
+    triangle zeroed.  Only the lower triangle of ``A`` is read (LAPACK
+    xLAUUM lower contract, reference slauum.c:197-305)."""
+    n = A.shape[0]
+    assert A.shape == (n, n) and A.dtype == jnp.float32
+    assert n % NB == 0 and n <= LAUUM_HBM_MAX_N, (n, LAUUM_HBM_MAX_N)
+    out = pl.pallas_call(
+        functools.partial(_lauum_hbm_kernel, n=n),
+        out_shape=out_struct((n, n), jnp.float32, A),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((NB, n), jnp.float32),
+                        pltpu.VMEM((2, NB, n), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))],
+        input_output_aliases={0: 0},
+        interpret=config.pallas_interpret(),
+    )(jnp.tril(A))
+    return jnp.tril(out)
 
 
 def _trtri_vmem_kernel(a_ref, o_ref, info_ref, *, n):

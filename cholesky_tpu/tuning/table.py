@@ -58,6 +58,7 @@ DEFAULTS = {
     # leaves wins. Autotuned on-chip (tools/autotune.py).
     "potrf_f32": {"leaf_nb": 128, "mega_max_n": 8192},
     "trtri_f32": {"mega_max_n": 4096},
+    "lauum_f32": {"mega_max_n": 8192},
 }
 
 

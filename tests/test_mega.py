@@ -234,6 +234,47 @@ def test_trtri_hbm(n):
     assert resid < 60 * n * np.finfo(np.float32).eps, resid
 
 
+@pytest.mark.parametrize("n", [256, 1280,
+                               pytest.param(2048, marks=pytest.mark.slow)])
+def test_lauum_hbm(n):
+    F, _ = (mega.potrf_vmem_f32 if n <= mega.MAX_N
+            else mega.potrf_hbm_f32)(spd(n))
+    P = mega.lauum_hbm_f32(F)
+    Pn = np.asarray(P, np.float64)
+    assert np.all(np.triu(Pn, 1) == 0.0)
+    Fn = np.tril(np.asarray(F, np.float64))
+    ref = np.tril(Fn.T @ Fn)
+    assert_close(Pn, ref, jnp.float32, 8 * n, f"lauum_hbm n={n}")
+
+
+def test_lauum_hbm_only_lower_read():
+    n = 256
+    A = np.array(np.tril(np.asarray(spd(n))), np.float32)
+    A[np.triu_indices(n, 1)] = np.nan
+    P = mega.lauum_hbm_f32(jnp.asarray(A))
+    assert np.isfinite(np.asarray(P)).all()
+
+
+def test_public_lauum_routes_mega(monkeypatch):
+    # the whole-matrix lauum path must hand 128-multiple sizes to the mono
+    # kernel (and the numbers must agree with the recursion)
+    calls = []
+    orig = mega.lauum_hbm_f32
+
+    def spy(A):
+        calls.append(A.shape[0])
+        return orig(A)
+
+    monkeypatch.setattr(blocked._pm, "lauum_hbm_f32", spy)
+    n = 640
+    F = np.tril(np.asarray(spd(n)))
+    R = blocked.lauum("L", jnp.asarray(F), backend="pallas")
+    assert calls == [n], calls
+    ref = np.tril(F.astype(np.float64).T @ F.astype(np.float64))
+    assert_close(np.tril(np.asarray(R, np.float64)), ref, jnp.float32,
+                 8 * n, "public lauum mega route")
+
+
 def test_trtri_hbm_zero_diag_info():
     n = 1280
     A = np.array(np.tril(np.asarray(spd(n))), np.float32)

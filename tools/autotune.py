@@ -151,6 +151,13 @@ def tune_mega_crossover(leaf_nb, quick=False, op="potrf"):
         sizes = (2048, 4096, 8192) if quick else (2048, 3072, 4096, 6144,
                                                   8192)
         flops = lambda n: n ** 3 / 3
+    elif op == "lauum":
+        hard = pmega.LAUUM_HBM_MAX_N
+        mono = lambda x: pmega.lauum_hbm_f32(x)
+        rec = lambda x: blocked.lauum("L", x, backend="pallas",
+                                      block_size=leaf_nb)
+        sizes = (2048, 4096, 8192) if quick else (2048, 3072, 4096, 8192)
+        flops = lambda n: n ** 3 / 3
     else:
         hard = pmega.HBM_MAX_N
         mono = lambda x: pmega.trtri_hbm_f32(x)[0]
@@ -163,7 +170,7 @@ def tune_mega_crossover(leaf_nb, quick=False, op="potrf"):
         if n > hard or n % pmega.NB:
             break
         A = latmc(jax.random.PRNGKey(5), n, 50.0, jnp.float32)
-        if op == "trtri":
+        if op in ("trtri", "lauum"):
             A = jnp.tril(blocked.potrf("L", A, backend="pallas")[0])
         try:
             t_mono = bench_op(mono, A, chain=16)
@@ -201,6 +208,8 @@ def main():
     table["potrf_f32"] = pf
     table["trtri_f32"] = {"mega_max_n": tune_mega_crossover(
         pf["leaf_nb"], quick=args.quick, op="trtri")}
+    table["lauum_f32"] = {"mega_max_n": tune_mega_crossover(
+        pf["leaf_nb"], quick=args.quick, op="lauum")}
     table["_meta"] = {"device_kind": kind,
                       "matmul_tflops": round(mm_tf, 2),
                       "syrk_useful_tflops": round(sy_tf, 2),

@@ -75,6 +75,20 @@ for n in (3072, 4096, 8192):
         rt = float(tresid(W, Lm, v))
         print(f"mega trtri_hbm n={n}: proj resid {rt:.2e}", flush=True)
         assert rt < 1e-4, rt
+    if n <= mega.LAUUM_HBM_MAX_N:
+        P = mega.lauum_hbm_f32(Lm)
+
+        @jax.jit
+        def lresid(P, Lm, v):
+            ref = jnp.matmul(Lm.T, jnp.matmul(Lm, v, precision=hp),
+                             precision=hp)
+            Pf = jnp.tril(P) + jnp.tril(P, -1).T
+            return jnp.linalg.norm(
+                jnp.matmul(Pf, v, precision=hp) - ref) / jnp.linalg.norm(ref)
+
+        rl = float(lresid(P, Lm, v))
+        print(f"mega lauum_hbm n={n}: proj resid {rl:.2e}", flush=True)
+        assert rl < 1e-4, rl
 print("mega probe OK")
 EOF
 timeout 2400 python tools/autotune.py --quick || echo "(autotune exited $?)"

@@ -102,6 +102,13 @@ def probes():
                               - np.eye(1280)))
         return resid < 1e-2 and int(info) == 0, f"resid={resid:.2e}"
 
+    def p_mega_lauum_hbm():
+        F = jnp.asarray(ref_chol.astype(np.float32))
+        P = _force(jax.jit(mega.lauum_hbm_f32)(F))
+        ref = np.tril(ref_chol.T @ ref_chol)
+        err = np.max(np.abs(np.asarray(P, np.float64) - ref))
+        return err < 1e-2 * np.max(np.abs(ref)), f"err={err:.2e}"
+
     def p_trmm():
         from cholesky_tpu.ops.pallas import trmm as ptrmm
         B = jax.random.normal(jax.random.PRNGKey(3), (256, 256), jnp.float32)
@@ -167,6 +174,7 @@ def probes():
             ("mega.trtri_vmem_f32", p_mega_trtri),
             ("mega.potrf_hbm_f32", p_mega_potrf_hbm),
             ("mega.trtri_hbm_f32", p_mega_trtri_hbm),
+            ("mega.lauum_hbm_f32", p_mega_lauum_hbm),
             ("trmm.trmm_lln_f32", p_trmm), ("gemm.matmul_f32", p_gemm),
             ("syrk.syrk_f32", p_syrk), ("ozaki.matmul_f64", p_ozaki),
             ("pallas_prng.uniform_device", p_prng),
