@@ -165,6 +165,9 @@ done
 for op in gemm syrk logdet; do
   run s "$op" 2560:4096:512 golden_tpu_v5_lite_s.jsonl
 done
+# rectangular GEMM k-sweep, m=n=1024 fixed (reference test_gpublas.sh:5-25)
+run s gemm_k 128:1024:128 golden_tpu_v5_lite_s.jsonl
+run s gemm_k 1536,2048,3072,4096 golden_tpu_v5_lite_s.jsonl
 
 # --- P6: variant-config grid (config != auto rows for every driver) -------
 run s potrf,potri,trtri,lauum,logdet 512,1024 golden_tpu_v5_lite_s.jsonl \

@@ -132,6 +132,10 @@ class DT:
         return x.astype(np.complex128 if np.iscomplexobj(x) else np.float64)
 
 
+#: optional global cap on bench_op chain length (--max-chain)
+MAX_CHAIN = None
+
+
 def _chain_for(n, letter):
     """bench_op chain length: long enough that the ~30 ms tunnel roundtrip
     is amortized below the op's own runtime, short enough to keep each
@@ -154,6 +158,8 @@ def _chain_for(n, letter):
         c = max(16, c // 8)
     elif letter == "c":
         c = max(16, c // 2)
+    if MAX_CHAIN is not None:
+        c = min(c, MAX_CHAIN)
     return c
 
 
@@ -334,6 +340,43 @@ def point_gemm(n, backend, dt: DT, cfg="nn"):
     return sec, dt.flop_factor * 2 * n ** 3, oracle, 2 * n + 3, 0
 
 
+def point_gemm_k(k, backend, dt: DT, cfg="nn"):
+    """Rectangular GEMM with m = n = 1024 fixed and the contraction dim
+    swept via the sizes axis — the reference's k-sweeps
+    (reference test/test_gpublas.sh:5-25, cusgemm_*.txt logs)."""
+    from cholesky_tpu.ops import blocked
+    M = 1024
+    ta = "N" if cfg[0] == "n" else dt.trans_char()
+    tb = "N" if cfg[1] == "n" else dt.trans_char()
+
+    def rect(rows, cols, off):
+        key = jax.random.PRNGKey(rows * 7 + cols * 13 + off)
+        k1, k2 = jax.random.split(key)
+        r = jax.random.uniform(k1, (rows, cols), dt.rdt) - 0.5
+        if dt.real:
+            return r
+        i = jax.random.uniform(k2, (rows, cols), dt.rdt) - 0.5
+        return (r, i) if dt.pair else jax.lax.complex(r, i).astype(dt.cdt)
+
+    A = rect(M, k, 0) if ta == "N" else rect(k, M, 0)
+    B = rect(k, M, 1) if tb == "N" else rect(M, k, 1)
+    C = rect(M, M, 2)
+    f = jax.jit(lambda a: blocked.gemm(ta, tb, 1.0, a, B, -1.0, C,
+                                       backend=backend))
+    sec, D = _time(f, A, max(k, 256), dt.letter)
+    Dnp = dt.to_np(D)
+    An, Bn, Cn = dt.to_np(A), dt.to_np(B), dt.to_np(C)
+
+    def _op(Mx, t):
+        return Mx if t == "N" else (Mx.T if t == "T" else Mx.conj().T)
+
+    def oracle():
+        ref = _op(An, ta) @ _op(Bn, tb) - Cn
+        return float(np.max(np.abs(Dnp - ref))), float(np.max(np.abs(ref)))
+
+    return sec, dt.flop_factor * 2 * M * M * k, oracle, 2 * k + 3, 0
+
+
 def point_syrk(n, backend, dt: DT, cfg="ln"):
     from cholesky_tpu.ops import blocked
     uplo = cfg[0].upper()
@@ -427,15 +470,15 @@ POINTS = {
     "potrf": point_potrf, "potri": point_potri, "trtri": point_trtri,
     "lauum": point_lauum, "logdet": point_logdet,
     "logdet_diag": point_logdet_diag,
-    "gemm": point_gemm, "syrk": point_syrk, "trmm": point_trmm,
-    "trsm": point_trsm,
+    "gemm": point_gemm, "gemm_k": point_gemm_k, "syrk": point_syrk,
+    "trmm": point_trmm, "trsm": point_trsm,
 }
 
 #: the variant a bare sweep records (and what pre-r4 golden rows with
 #: config="auto" measured)
 DEFAULT_CFG = {
     "potrf": "l", "potri": "l", "trtri": "ln", "lauum": "l", "logdet": "l",
-    "logdet_diag": "auto", "gemm": "nn", "syrk": "ln",
+    "logdet_diag": "auto", "gemm": "nn", "gemm_k": "nn", "syrk": "ln",
     "trmm": "llnn", "trsm": "llnn",
 }
 
@@ -447,6 +490,7 @@ GRID_CFG = {
     "trtri": ["ln", "un", "lu", "uu"],
     "lauum": ["l", "u"], "logdet": ["l", "u"], "logdet_diag": ["auto"],
     "gemm": ["nn", "nt", "tn", "tt"],
+    "gemm_k": ["nn", "nt", "tn", "tt"],
     "syrk": ["ln", "lt", "un", "ut"],
     "trmm": ["llnn", "lltn", "lunn", "lutn",
              "rlnn", "rltn", "runn", "rutn"],
@@ -482,6 +526,9 @@ def main():
                     help="compare gflops against a golden jsonl (±30%%)")
     ap.add_argument("--resume", action="store_true",
                     help="append to --out, skipping points already present")
+    ap.add_argument("--max-chain", type=int, default=None,
+                    help="cap the chained-iteration count (CPU smokes, "
+                         "very large sizes)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the host-CPU platform (smoke runs on a dead "
                          "tunnel; plain JAX_PLATFORMS=cpu is overridden by "
@@ -490,6 +537,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.max_chain is not None:
+        global MAX_CHAIN
+        MAX_CHAIN = args.max_chain
     if args.dtype in "dz":
         jax.config.update("jax_enable_x64", True)
 
