@@ -32,10 +32,21 @@ def test_ozaki_potf2_nonpd_stays_finite():
 
 
 def test_ozaki_potf2_near_singular_finite():
+    # PD in f64 (det = 1e-12) but pivot ~0 at f32: the r4 f64 rescue
+    # (VERDICT r3 Next #9) re-factors the flagged leaf at true f64, so
+    # this now factors with info=0 — matching reference dpotrf. The
+    # finite-output guarantee is unchanged.
     A = jnp.asarray([[1.0, 0.5], [0.5, 0.25 + 1e-12]])
     F, info = blocked.potrf("L", A, backend="ozaki")
-    assert int(info) == 2          # f32 detection: pivot ~0 at f32
+    assert int(info) == 0
     assert np.isfinite(np.asarray(F)).all()
+    L = np.tril(np.asarray(F))
+    assert np.max(np.abs(L @ L.T - np.asarray(A))) < 1e-12
+    # a genuinely singular-at-f64 matrix still reports the pivot
+    B = jnp.asarray([[1.0, 0.5], [0.5, 0.25]])
+    FB, ib = blocked.potrf("L", B, backend="ozaki")
+    assert int(ib) == 2
+    assert np.isfinite(np.asarray(FB)).all()
 
 
 def test_pair_trti2_lauu2_route():
