@@ -193,4 +193,7 @@ timeout 1800 python tools/probe_r3.py lookahead || echo "(lookahead exited $?)"
 timeout 700 python bench.py || echo "(bench exited $?)"
 timeout 1500 python __graft_entry__.py || echo "(graft exited $?)"
 
+# regenerate the perf ledger from the committed artifacts
+python tools/report.py --md > "$OUT/perf_ledger.md" 2>/dev/null || true
+
 echo "=== goldens_r4 done $(date +%H:%M:%S) ==="
