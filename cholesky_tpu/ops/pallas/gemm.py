@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
 from cholesky_tpu.utils.vma import out_struct
+from cholesky_tpu.utils.pallas_x32 import pallas_call as pallas_call_x32
 
 # Default block shapes; overridden by the tuning table (tuning/table.py),
 # the analog of the reference's build-time autotuned config.h.
@@ -92,7 +93,7 @@ def matmul_f32(A, B, C=None, *, alpha: float = 1.0, beta: float = 0.0,
     grid = (mp // bm_, np_ // bn_, nk)
     kernel = functools.partial(_mm_kernel, alpha=alpha, beta=beta, nk=nk)
     flops = 2 * mp * np_ * kp
-    out = pl.pallas_call(
+    out = pallas_call_x32(
         kernel,
         grid=grid,
         in_specs=[

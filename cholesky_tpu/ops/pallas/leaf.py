@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
 from cholesky_tpu.utils.vma import out_struct
+from cholesky_tpu.utils.pallas_x32 import pallas_call as pallas_call_x32
 
 LEAF_N = 128  # default diagonal-block size (the reference's nb=64 analog)
 
@@ -149,7 +150,7 @@ def potf2_f32(A):
     assert A.shape == (n, n) and A.dtype == jnp.float32
     assert n <= PANEL or n % PANEL == 0, \
         f"potf2_f32 leaf size {n} must be <= {PANEL} or a multiple of it"
-    L, info = pl.pallas_call(
+    L, info = pallas_call_x32(
         functools.partial(_potf2_kernel, n=n),
         out_shape=(out_struct((n, n), jnp.float32, A),
                    out_struct((1, 1), jnp.int32, A)),
@@ -269,7 +270,7 @@ def trti2_f32(A, *, unit: bool = False):
         f"trti2_f32 leaf size {n} must be <= {PANEL} or a multiple of it"
     kernel = functools.partial(_trti2_unit_kernel, n=n) if unit \
         else functools.partial(_trti2_kernel, n=n)
-    T, info = pl.pallas_call(
+    T, info = pallas_call_x32(
         kernel,
         out_shape=(out_struct((n, n), jnp.float32, A),
                    out_struct((1, 1), jnp.int32, A)),
@@ -298,7 +299,7 @@ def lauu2_f32(A):
     result; strict upper passes through)."""
     n = A.shape[0]
     assert A.shape == (n, n) and A.dtype == jnp.float32
-    return pl.pallas_call(
+    return pallas_call_x32(
         functools.partial(_lauu2_kernel, n=n),
         out_shape=out_struct((n, n), jnp.float32, A),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],

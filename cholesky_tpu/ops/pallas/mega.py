@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
 from cholesky_tpu.utils.vma import out_struct
+from cholesky_tpu.utils.pallas_x32 import pallas_call as pallas_call_x32
 
 NB = 128            # panel width = lane width
 GRP = 16            # pivots per mini-sweep group (on-chip sweep over
@@ -245,7 +246,7 @@ def potrf_vmem_f32(A):
     # upper-form kernel ⇔ lower contract: symmetrize + transpose at the
     # XLA level (measured free — fused into the surrounding program)
     Afull = jnp.tril(A) + jnp.tril(A, -1).T
-    U, info = pl.pallas_call(
+    U, info = pallas_call_x32(
         functools.partial(_potrf_vmem_kernel, n=n),
         out_shape=(out_struct((n, n), jnp.float32, A),
                    out_struct((1, 1), jnp.int32, A)),
@@ -368,7 +369,7 @@ def potrf_hbm_f32(A):
     assert A.shape == (n, n) and A.dtype == jnp.float32
     assert n % NB == 0 and n <= POTRF_HBM_MAX_N, (n, POTRF_HBM_MAX_N)
     Afull = jnp.tril(A) + jnp.tril(A, -1).T     # symmetric: upper == lowerᵀ
-    U, info = pl.pallas_call(
+    U, info = pallas_call_x32(
         functools.partial(_potrf_hbm_kernel, n=n),
         out_shape=(out_struct((n, n), jnp.float32, A),
                    out_struct((1, 1), jnp.int32, A)),
@@ -445,7 +446,7 @@ def lauum_hbm_f32(A):
     n = A.shape[0]
     assert A.shape == (n, n) and A.dtype == jnp.float32
     assert n % NB == 0 and n <= LAUUM_HBM_MAX_N, (n, LAUUM_HBM_MAX_N)
-    out = pl.pallas_call(
+    out = pallas_call_x32(
         functools.partial(_lauum_hbm_kernel, n=n),
         out_shape=out_struct((n, n), jnp.float32, A),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -511,7 +512,7 @@ def trtri_vmem_f32(A):
     assert A.shape == (n, n) and A.dtype == jnp.float32
     assert n <= MAX_N
     assert n <= NB or n % NB == 0
-    V, info = pl.pallas_call(
+    V, info = pallas_call_x32(
         functools.partial(_trtri_vmem_kernel, n=n),
         out_shape=(out_struct((n, n), jnp.float32, A),
                    out_struct((1, 1), jnp.int32, A)),
@@ -619,7 +620,7 @@ def trtri_hbm_f32(A):
     n = A.shape[0]
     assert A.shape == (n, n) and A.dtype == jnp.float32
     assert n % NB == 0 and n <= HBM_MAX_N, (n, HBM_MAX_N)
-    V, info = pl.pallas_call(
+    V, info = pallas_call_x32(
         functools.partial(_trtri_hbm_kernel, n=n),
         out_shape=(out_struct((n, n), jnp.float32, A),
                    out_struct((1, 1), jnp.int32, A)),

@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 
 from cholesky_tpu.utils.vma import out_struct
+from cholesky_tpu.utils.pallas_x32 import pallas_call as pallas_call_x32
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +64,7 @@ def peel_f32pair(rh, rl, *, slices: int):
     if (mp, kp) != (m, k):
         rh = jnp.pad(rh, ((0, mp - m), (0, kp - k)))
         rl = jnp.pad(rl, ((0, mp - m), (0, kp - k)))
-    call = pl.pallas_call(
+    call = pallas_call_x32(
         _make_peel_kernel(slices),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],

@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
 from cholesky_tpu.utils.vma import out_struct
+from cholesky_tpu.utils.pallas_x32 import pallas_call as pallas_call_x32
 
 DEFAULT_BN, DEFAULT_BK = 256, 512
 
@@ -104,7 +105,7 @@ def syrk_f32(A, C, *, alpha: float = 1.0, beta: float = 1.0,
     )
     kernel = functools.partial(_syrk_kernel, alpha=alpha, beta=beta,
                                nk=nk, bn=bn_)
-    out = pl.pallas_call(
+    out = pallas_call_x32(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_struct((np_, np_), jnp.float32, Ap, Cp),

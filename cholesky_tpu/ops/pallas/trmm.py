@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
 from cholesky_tpu.utils.vma import out_struct
+from cholesky_tpu.utils.pallas_x32 import pallas_call as pallas_call_x32
 
 DEFAULT_BN, DEFAULT_BM = 256, 512
 
@@ -97,7 +98,7 @@ def trmm_lln_f32(L, B, *, alpha: float = 1.0, bn: int = None, bm: int = None):
         out_specs=pl.BlockSpec((bn_, bm_), lambda j, t, ii, kk: (ii[t], j)),
         scratch_shapes=[pltpu.VMEM((bn_, bm_), jnp.float32)],
     )
-    out = pl.pallas_call(
+    out = pallas_call_x32(
         functools.partial(_trmm_kernel, alpha=float(alpha)),
         grid_spec=grid_spec,
         out_shape=out_struct((np_, mp), jnp.float32, Lp, Bp),

@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cholesky_tpu import config
 from cholesky_tpu.utils.vma import out_struct
+from cholesky_tpu.utils.pallas_x32 import pallas_call as pallas_call_x32
 from cholesky_tpu.rng.generators import Interval, uniform as _threefry_uniform
 
 _ROWS_PER_BLOCK = 256
@@ -68,7 +69,7 @@ def uniform_device(seed: int, shape, interval=Interval.HALF_OPEN_01):
     rp = min(_ROWS_PER_BLOCK, -(-rows // 8) * 8)
     rows_p = -(-rows // rp) * rp
     cols_p = -(-cols // 128) * 128
-    u = pl.pallas_call(
+    u = pallas_call_x32(
         _fill_kernel,
         grid=(rows_p // rp,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -122,7 +123,7 @@ def uniform_device64(seed: int, shape, interval=Interval.HALF_OPEN_01):
     rp = min(_ROWS_PER_BLOCK, -(-rows // 8) * 8)
     rows_p = -(-rows // rp) * rp
     cols_p = -(-cols // 128) * 128
-    call = pl.pallas_call(
+    call = pallas_call_x32(
         _fill_kernel64,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),

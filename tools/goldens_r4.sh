@@ -33,6 +33,9 @@ run() { # dtype ops sizes outfile [extra args...]
 }
 
 # --- P0: gates -------------------------------------------------------------
+# SKIP_P0=1 skips the gates on a restart (they re-measure ~15 min of
+# smoke/probe/autotune chip time that a mid-queue resume doesn't need).
+if [ -z "${SKIP_P0:-}" ]; then
 echo "=== P0 gates ==="
 timeout 600 python tools/smoke_tpu.py || echo "(smoke exited $?)"
 # mega mono-kernel compile + correctness probe at the new caps (4096 route
@@ -92,6 +95,7 @@ for n in (3072, 4096, 8192):
 print("mega probe OK")
 EOF
 timeout 2400 python tools/autotune.py --quick || echo "(autotune exited $?)"
+fi  # SKIP_P0
 
 # --- P1: c potrf large points (lost to the r3 outage; isolated chunks) ----
 run c potrf 768 golden_tpu_v5_lite_c.jsonl
