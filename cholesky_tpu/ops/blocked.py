@@ -290,7 +290,12 @@ class _OzakiTiles(_XlaTiles):
         Bs, bsc = split_rows(B.T, self.slices)           # (S, p, n), (p,)
 
         def rec(i, n):
-            if n <= nb:
+            # absorb ragged tails up to 1.5*nb into one leaf: splitting
+            # 1.5*nb into (nb, nb/2) costs an extra presplit call (whose
+            # HBM-bound epilogue outweighs the dead-half MXU saving) and a
+            # sub-MXU-efficient nb/2 block — measured 0.77x vs the stale
+            # full matmul at n=1280 before this rule (r4 d-trmm sweep)
+            if n <= nb + nb // 2:
                 return matmul_presplit(Ls[:, i:i + n, i:i + n],
                                        lsc[i:i + n], Bs[:, :, i:i + n], bsc)
             n1 = _split(n, nb)
@@ -860,7 +865,7 @@ def _trmm_lln_tiles(L, B, t, nb):
     if hasattr(t, "trmm_lln"):
         return t.trmm_lln(L, B, nb)
     n = L.shape[0]
-    if n <= nb:
+    if n <= nb + nb // 2:   # ragged-tail absorption, as in trmm_lln
         return t.mm(L, B)
     n1 = _split(n, nb)
     C1 = _trmm_lln_tiles(L[:n1, :n1], B[:n1], t, nb)

@@ -285,7 +285,7 @@ def _trmm_lln_planes(tr, ti, br, bi, backend, nb=_TRMM_PLANES_NB):
     The complex-level analog of the f32 live-tile grid (ops/pallas/trmm.py)
     and the reference's triangle-aware ztrmm (blas/ztrmm.cu:73-1005)."""
     n = tr.shape[0]
-    if n <= nb:
+    if n <= nb + nb // 2:   # ragged-tail absorption (blocked.trmm_lln)
         EB = embed(br, bi)
         out = blocked.gemm("N", "N", 1.0, embed(tr, ti), EB, 0.0,
                            jnp.zeros_like(EB), backend=backend)

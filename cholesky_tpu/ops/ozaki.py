@@ -30,6 +30,7 @@ S is tunable (S=6 → 21 matmuls, ~2^{-42} for near-f64 work).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -105,11 +106,33 @@ def split_rows(A, slices: int):
     return _split_rows(A, slices)
 
 
-def matmul_presplit(As, ascale, Bs, bscale, out_dtype=jnp.float64):
+def use_fused() -> bool:
+    """Should :func:`matmul_presplit` route through the fused group-sum
+    kernel (ops/pallas/ozaki_mm.py)?  Resolved at trace time:
+    ``CHOLESKY_TPU_OZAKI_FUSED=1/0`` overrides; the default is ON for
+    compiled TPU execution — measured driver-level wins
+    (bench_results/ozaki_fused_probe.json: d trmm 1.35-1.61x, d potrf
+    ~1.4x) — and OFF elsewhere (the XLA per-group loop is faster than an
+    interpreted kernel on the CPU mesh)."""
+    v = os.environ.get("CHOLESKY_TPU_OZAKI_FUSED")
+    if v is not None:
+        return v not in ("0", "false", "")
+    from cholesky_tpu import config
+    return config.on_tpu()
+
+
+def matmul_presplit(As, ascale, Bs, bscale, out_dtype=jnp.float64,
+                    fused=None):
     """C ≈ A·B from pre-peeled operands: ``As (S,m,k)`` int8 + row scales
     ``(m,)`` from ``split_rows(A)``; ``Bs (S,n,k)`` int8 + column scales
     ``(n,)`` from ``split_rows(B.T)``.  Same arithmetic and error bound as
-    :func:`matmul_f64`; the peel cost is the caller's, paid once."""
+    :func:`matmul_f64`; the peel cost is the caller's, paid once.
+
+    ``fused=None`` resolves via :func:`use_fused`: the fused kernel runs
+    the whole group/epilogue pipeline in VMEM and accumulates in an exact
+    f32 pair (~48 mantissa bits) instead of per-group emulated f64 — the
+    pair noise sits at ~2^-48 of the largest k-partial, below the
+    2^{-7S} dropped-pair floor that dominates the Ozaki error."""
     S, m, k = As.shape
     S2, n, k2 = Bs.shape
     assert S == S2 and k == k2, (As.shape, Bs.shape)
@@ -124,8 +147,16 @@ def matmul_presplit(As, ascale, Bs, bscale, out_dtype=jnp.float64):
             w = min(step, k - c)
             acc = acc + matmul_presplit(As[:, :, c:c + w], ascale,
                                         Bs[:, :, c:c + w], bscale,
-                                        out_dtype=out_dtype)
+                                        out_dtype=out_dtype, fused=fused)
         return acc
+    if fused is None:
+        fused = use_fused()
+    if fused:
+        from cholesky_tpu.ops.pallas import ozaki_mm
+        assert ozaki_mm.SLICE_BITS == SLICE_BITS
+        hi, lo = ozaki_mm.mm_groups_f32pair(As, Bs)
+        acc = hi.astype(out_dtype) + lo.astype(out_dtype)
+        return acc * ascale[:, None] * bscale[None, :]
     acc = jnp.zeros((m, n), out_dtype)
     for g in range(S):                       # weight group: s + t == g
         G = None

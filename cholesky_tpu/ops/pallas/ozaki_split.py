@@ -9,11 +9,13 @@ pass: read 8 bytes, write S bytes per element — the d-tier analog of the
 reference keeping its hi/lo double representation resident in shared
 memory across the whole multiply (reference dgemm.cu:3-10).
 
-Mosaic constraints honored (CLAUDE.md rule 3): GRID-FREE on purpose — the
-d tier always runs under x64, where the pallas grid index machinery itself
-goes int64 and crashes the Mosaic compiler; callers chunk at the XLA level
-with one kernel call per row block (same workaround as
-rng/pallas_prng._fill_kernel64). No int64, no dynamic lane slices.
+Mosaic constraints honored (CLAUDE.md rule 3): no int64, no dynamic lane
+slices. Originally grid-free (under x64 the grid index machinery itself
+went int64 and crashed the Mosaic compiler — callers chunked at the XLA
+level); utils/pallas_x32 now traces the grid machinery with x64 off, so
+the peel is a plain 2D-parallel grid — the peel is purely elementwise, and
+the XLA-level chunk calls + concatenate were costing ~15x the DMA bound
+(r4 measured 0.3 ms per 1024^2 operand vs a ~20 us traffic floor).
 """
 
 from __future__ import annotations
@@ -30,9 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _RADIX = 128.0
 
-#: elements per grid-free kernel call: block VMEM ≈ elems·(8 in + S out +
-#: ~8 scratch) bytes → ≈ 5.5 MiB at S=6, comfortably inside VMEM
-_ELEMS_PER_BLOCK = 256 * 1024
+#: peel grid block (rows, cols): VMEM ≈ rb·cb·(8 in + S out + scratch)
+#: bytes ≈ 4.5 MiB at S=6 — the peel is elementwise, so both axes are
+#: fully parallel
+_PEEL_RB, _PEEL_CB = 512, 512
 
 
 def _make_peel_kernel(slices: int):
@@ -56,21 +59,26 @@ def peel_f32pair(rh, rl, *, slices: int):
     fused in VMEM. Inputs must already be scaled into [-1/2, 1/2] (the
     caller applies the power-of-two row scale — exact in f32)."""
     assert rh.dtype == jnp.float32 and rl.dtype == jnp.float32
+    from cholesky_tpu import config
     m, k = rh.shape
-    kp = -(-k // 128) * 128
-    # rows per grid-free call: VMEM-bounded, sublane-aligned, ≥ 8
-    rb = max(8, min(-(-m // 8) * 8, (_ELEMS_PER_BLOCK // max(kp, 1)) // 8 * 8))
-    mp = -(-m // rb) * rb
+    rb = min(_PEEL_RB, max(8, -(-m // 8) * 8))
+    cb = min(_PEEL_CB, max(128, -(-k // 128) * 128))
+    mp, kp = -(-m // rb) * rb, -(-k // cb) * cb
     if (mp, kp) != (m, k):
         rh = jnp.pad(rh, ((0, mp - m), (0, kp - k)))
         rl = jnp.pad(rl, ((0, mp - m), (0, kp - k)))
-    call = pallas_call_x32(
+    out = pallas_call_x32(
         _make_peel_kernel(slices),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=out_struct((slices, rb, kp), jnp.int8, rh, rl),
-    )
-    outs = [call(rh[r:r + rb], rl[r:r + rb]) for r in range(0, mp, rb)]
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        grid=(mp // rb, kp // cb),
+        in_specs=[pl.BlockSpec((rb, cb), lambda i, j: (i, j)),
+                  pl.BlockSpec((rb, cb), lambda i, j: (i, j))],
+        out_specs=pl.BlockSpec((slices, rb, cb), lambda i, j: (0, i, j)),
+        out_shape=out_struct((slices, mp, kp), jnp.int8, rh, rl),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * slices * mp * kp,
+            bytes_accessed=(8 + slices) * mp * kp, transcendentals=0),
+        interpret=config.pallas_interpret(),
+    )(rh, rl)
     return out[:, :m, :k]

@@ -194,3 +194,83 @@ def test_dtrmm_ozaki_live_blocks(side, uplo, transa, diag, monkeypatch):
     ref = 0.5 * (T @ np.asarray(B) if side == "L" else np.asarray(B) @ T)
     scaled = np.max(np.abs(np.asarray(out) - ref)) / np.max(np.abs(ref))
     assert scaled < 1e-8, scaled
+
+
+def test_matmul_presplit_fused_matches_xla():
+    """Fused group-sum kernel (ops/pallas/ozaki_mm.py) vs the XLA
+    per-group formulation: same slices in, answers agree to the f32-pair
+    accumulation budget (~2^-48 of the largest partial), and both hit the
+    dropped-pair accuracy bound vs numpy."""
+    from cholesky_tpu.ops.ozaki import split_rows, matmul_presplit
+    A = rnd(11, (192, 640), spread=True)
+    B = rnd(12, (640, 160), spread=True)
+    As, asc = split_rows(A, 6)
+    Bs, bsc = split_rows(jnp.asarray(np.asarray(B).T), 6)
+    C0 = np.asarray(matmul_presplit(As, asc, Bs, bsc, fused=False))
+    C1 = np.asarray(matmul_presplit(As, asc, Bs, bsc, fused=True))
+    ref = np.asarray(A) @ np.asarray(B)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(C1 - C0)) / scale < 1e-12, \
+        np.max(np.abs(C1 - C0)) / scale
+    assert np.max(np.abs(C1 - ref)) / scale < 1e-9
+
+
+def test_matmul_fused_exact_small_ints():
+    # exact f32-pair accumulation: integer products within the pair's 48
+    # mantissa bits reproduce exactly through the fused kernel too
+    from cholesky_tpu.ops.ozaki import split_rows, matmul_presplit
+    A = jnp.asarray(np.random.RandomState(2).randint(-50, 50, (64, 64)),
+                    jnp.float64)
+    B = jnp.asarray(np.random.RandomState(3).randint(-50, 50, (64, 64)),
+                    jnp.float64)
+    As, asc = split_rows(A, 4)
+    Bs, bsc = split_rows(jnp.asarray(np.asarray(B).T), 4)
+    C = matmul_presplit(As, asc, Bs, bsc, fused=True)
+    np.testing.assert_array_equal(np.asarray(C),
+                                  np.asarray(A) @ np.asarray(B))
+
+
+def test_matmul_fused_cancellation():
+    """Newton-iteration shape: T = L·L⁻¹ ≈ I cancels the k-partials to
+    ~2^-50 of their magnitude — the fused pair accumulation must not
+    surface its 2^-48-of-partial noise above the Ozaki dropped-pair
+    floor. Pins the multi-k-step two-sum path (k > bk forces cross-step
+    pair accumulation)."""
+    from cholesky_tpu.ops.ozaki import split_rows, matmul_presplit
+    n = 640  # > DEFAULT_BK so the pair accumulates across k-steps
+    r = np.random.RandomState(9)
+    G = r.randn(n, n)
+    Lnp = np.linalg.cholesky(G @ G.T + n * np.eye(n))
+    Wnp = np.linalg.inv(Lnp)
+    As, asc = split_rows(jnp.asarray(Lnp), 6)
+    Bs, bsc = split_rows(jnp.asarray(Wnp.T), 6)
+    T = np.asarray(matmul_presplit(As, asc, Bs, bsc, fused=True))
+    ref = Lnp @ Wnp  # ≈ I
+    err = np.max(np.abs(T - ref))
+    assert err < n * 2.0 ** -40, err
+
+
+def test_peel_f32pair_gridded_exact():
+    """The 2D-gridded peel kernel (ozaki_split.py) is bit-exact against
+    the XLA round-and-subtract loop (_split_rows' CPU branch) — the peel
+    arithmetic is exact by construction, so any deviation is a kernel
+    indexing/blocking bug. Non-multiple shapes exercise the pad+crop."""
+    from cholesky_tpu.ops.pallas.ozaki_split import peel_f32pair
+
+    r = np.random.RandomState(0)
+    x = r.uniform(-0.5, 0.5, (200, 300))
+    rh = x.astype(np.float32)
+    rl = (x - rh.astype(np.float64)).astype(np.float32)
+    got = np.asarray(peel_f32pair(jnp.asarray(rh), jnp.asarray(rl),
+                                  slices=6))
+    ph, pl_ = rh.copy(), rl.copy()
+    outs = []
+    for _ in range(6):
+        q = np.round(ph * 128.0)
+        outs.append(q.astype(np.int8))
+        d = (ph * 128.0 - q).astype(np.float32)
+        rlb = (pl_ * 128.0).astype(np.float32)
+        t = (d + rlb).astype(np.float32)
+        pl_ = (rlb - (t - d)).astype(np.float32)
+        ph = t
+    np.testing.assert_array_equal(got, np.stack(outs))
