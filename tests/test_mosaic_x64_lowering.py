@@ -32,6 +32,14 @@ def _force_mosaic(monkeypatch):
     monkeypatch.setattr(config, "pallas_interpret", lambda: False)
     monkeypatch.setattr(config, "on_tpu", lambda: True)
     monkeypatch.setenv("CHOLESKY_TPU_DEVICE_KIND", "TPU v5 lite")
+    yield
+    # the AOT .trace() calls above populate the caches of module-level
+    # inner jits (matmul_f64, leaf kernels, mm_groups_f32pair, ...) with
+    # interpret=False / on_tpu=True traces; a later CPU test hitting the
+    # same inner shapes would re-use them and die with "Only interpret
+    # mode is supported on CPU backend" (observed: the f64-rescue test
+    # after the fused-Ozaki routing landed)
+    jax.clear_caches()
 
 
 def _lower(fn, *specs):
