@@ -33,6 +33,7 @@ matching the reference's storage semantics.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -122,6 +123,21 @@ class _XlaTiles:
 
     def lauu2(self, A):
         return lapack_ref.lauu2(Uplo.LOWER, A)
+
+
+def _potf2_inverse_leaf() -> bool:
+    """Should the Ozaki potf2 refinement compute G = W·R·Wᵀ via the
+    Newton trtri inverse instead of two XLA substitution solves?
+    ``CHOLESKY_TPU_POTF2_INV=1/0`` overrides (trace time).  Default OFF —
+    measured LOSS on-chip (bench_results/potf2_leaf_probe.json: 0.996x
+    @1024, 0.916x @2048, identical residuals): XLA's TriangularSolve is
+    not on the dpotrf critical path, so the extra trtri kernel + two full
+    matmuls only add work.  Kept as a guarded experiment + regression
+    probe for future XLA/backend changes."""
+    v = os.environ.get("CHOLESKY_TPU_POTF2_INV")
+    if v is not None:
+        return v not in ("0", "false", "")
+    return False
 
 
 class _PallasTiles:
@@ -223,10 +239,24 @@ class _OzakiTiles(_XlaTiles):
         R = Afull - matmul_f64(Lh, Lh.T, slices=self.slices)
         # G = Lₕ⁻¹ R Lₕ⁻ᵀ in f32 (R is already O(2^-24·‖A‖); first order)
         R32 = R.astype(jnp.float32)
-        G32 = lax.linalg.triangular_solve(Lh32, R32, left_side=True,
-                                          lower=True)
-        G32 = lax.linalg.triangular_solve(Lh32, G32.T, left_side=True,
-                                          lower=True).T
+        if _potf2_inverse_leaf():
+            # inverse-trick refinement: G = W·R·Wᵀ with W = Lₕ⁻¹ from the
+            # Newton trtri kernel — two MXU matmuls instead of two XLA
+            # substitution solves. W's ~2⁻²⁴ relative error perturbs G
+            # (itself O(2⁻²⁴)·‖A‖) only at second order — the same
+            # argument as the trsm-leaf inverse trick (SURVEY.md §2.4,
+            # reference lapack/spotrf.cu diagonal-inverse hybrid).
+            W32, _ = _PallasTiles().trti2(Lh32) if _mega_ok(n, "trtri") \
+                else _pl.trti2_f32(Lh32)
+            W32 = jnp.tril(W32)
+            G32 = jnp.matmul(W32, jnp.matmul(
+                R32, W32.T, precision=config.matmul_precision),
+                precision=config.matmul_precision)
+        else:
+            G32 = lax.linalg.triangular_solve(Lh32, R32, left_side=True,
+                                              lower=True)
+            G32 = lax.linalg.triangular_solve(Lh32, G32.T, left_side=True,
+                                              lower=True).T
         Phi = jnp.tril(G32, -1) + 0.5 * jnp.diag(jnp.diag(G32))
         E = jnp.matmul(Lh32, Phi, precision=config.matmul_precision)
         refined = jnp.tril(Lh + E.astype(A.dtype))

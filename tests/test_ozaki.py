@@ -274,3 +274,29 @@ def test_peel_f32pair_gridded_exact():
         pl_ = (rlb - (t - d)).astype(np.float32)
         ph = t
     np.testing.assert_array_equal(got, np.stack(outs))
+
+
+def test_dpotrf_inverse_leaf_refinement(monkeypatch):
+    """The Newton-inverse refinement (CHOLESKY_TPU_POTF2_INV=1) matches
+    the triangular-solve formulation to the refinement's own error floor
+    and keeps the non-PD info semantics (the f64 rescue path)."""
+    monkeypatch.setenv("CHOLESKY_TPU_POTF2_INV", "0")
+    A = latmc(jax.random.PRNGKey(5), 320, 100.0, jnp.float64)
+    L0, i0 = blocked.potrf("L", A, backend="ozaki")
+    monkeypatch.setenv("CHOLESKY_TPU_POTF2_INV", "1")
+    L1, i1 = blocked.potrf("L", A, backend="ozaki")
+    assert int(i0) == int(i1) == 0
+    An = np.asarray(A)
+    Af = np.tril(An) + np.tril(An, -1).T
+    for L in (L0, L1):
+        Ln = np.tril(np.asarray(L))
+        r = np.max(np.abs(Ln @ Ln.T - Af)) / np.max(np.abs(Af))
+        assert r < 320 * 2.0 ** -40, r
+    agree = np.max(np.abs(np.asarray(L0) - np.asarray(L1))) \
+        / np.max(np.abs(np.asarray(L0)))
+    assert agree < 1e-9, agree
+    # non-PD: identical pivot through the rescue regardless of the flag
+    Abad = np.array(Af)
+    Abad[100, 100] = -3.0
+    _, ib = blocked.potrf("L", jnp.asarray(Abad), backend="ozaki")
+    assert int(ib) == 101
