@@ -35,6 +35,14 @@ for op in trtri potri lauum trsm logdet; do
   run d "$op" 6144 golden_tpu_v5_lite_d.jsonl
 done
 
+# --- B4: variant grid at production sizes ----------------------------------
+run s potrf,trtri 2048,4096 golden_tpu_v5_lite_s.jsonl --config grid
+run s trmm,trsm 2048 golden_tpu_v5_lite_s.jsonl --config grid
+run s potri,lauum,logdet 2048 golden_tpu_v5_lite_s.jsonl --config grid
+run d potrf,trmm 1024,2048 golden_tpu_v5_lite_d.jsonl --config grid
+run c potrf,trmm,trsm 512,1024 golden_tpu_v5_lite_c.jsonl --config grid
+run z potrf,trmm,trsm 256,512 golden_tpu_v5_lite_z.jsonl --config grid
+
 # --- B1: c extension --------------------------------------------------------
 for op in potri trtri lauum logdet; do
   run c "$op" 768,1024,1536,2048 golden_tpu_v5_lite_c.jsonl
@@ -51,23 +59,15 @@ done
 run z trmm 1536,2048 golden_tpu_v5_lite_z.jsonl
 run z trsm 1536,2048 golden_tpu_v5_lite_z.jsonl
 
+# --- B5: gemm_k transpose variants (reference test_gpublas.sh parity) ------
+run s gemm_k 256,512,1024 golden_tpu_v5_lite_s.jsonl --config grid
+
 # --- B3: s mid-ladder densify ----------------------------------------------
 for op in potrf potri trtri lauum trmm trsm; do
   run s "$op" 2304,2816,3328,3840 golden_tpu_v5_lite_s.jsonl
 done
 run s potrf 5120 golden_tpu_v5_lite_s.jsonl
 run s potrf 12288 golden_tpu_v5_lite_s.jsonl
-
-# --- B4: variant grid at production sizes ----------------------------------
-run s potrf,trtri 2048,4096 golden_tpu_v5_lite_s.jsonl --config grid
-run s trmm,trsm 2048 golden_tpu_v5_lite_s.jsonl --config grid
-run s potri,lauum,logdet 2048 golden_tpu_v5_lite_s.jsonl --config grid
-run d potrf,trmm 1024,2048 golden_tpu_v5_lite_d.jsonl --config grid
-run c potrf,trmm,trsm 512,1024 golden_tpu_v5_lite_c.jsonl --config grid
-run z potrf,trmm,trsm 256,512 golden_tpu_v5_lite_z.jsonl --config grid
-
-# --- B5: gemm_k transpose variants (reference test_gpublas.sh parity) ------
-run s gemm_k 256,512,1024 golden_tpu_v5_lite_s.jsonl --config grid
 
 # regenerate the perf ledger from the committed artifacts
 python tools/report.py --md > "$OUT/perf_ledger.md" 2>/dev/null || true

@@ -17,6 +17,10 @@ run() {
       --resume --out "$OUT/$f" "$@" || echo "(chunk exited $?)"
 }
 
+# New-op coverage first (c/z gemm+herk, d logdet_diag): higher value per
+# minute than the big-n s trmm/trsm points below; resume-safe either way.
+bash tools/goldens_r4e.sh
+
 run s trmm 6144 golden_tpu_v5_lite_s.jsonl
 run s trsm 6144 golden_tpu_v5_lite_s.jsonl
 run s trmm 8192 golden_tpu_v5_lite_s.jsonl
