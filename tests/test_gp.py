@@ -92,3 +92,27 @@ def test_graft_dryrun_multichip():
     import importlib
     ge = importlib.import_module("__graft_entry__")
     ge.dryrun_multichip(len(jax.devices()))
+
+
+@pytest.mark.slow
+def test_graft_dryrun_child_self_provisions():
+    """Bare `--dryrun-child N` must provision its own CPU device count.
+
+    Guards the jax_num_cpu_devices fallback in __graft_entry__: the child
+    is spawned WITHOUT the parent's --xla_force_host_platform_device_count
+    flag and must still build a 4-device mesh (reference multiGPU tests
+    degrade to whatever devices exist — cumultigpuspotrf.c:50-57)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_dryrun")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "__graft_entry__.py"),
+         "--dryrun-child", "4"],
+        env=env, cwd=root, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip ok" in r.stdout, r.stdout
