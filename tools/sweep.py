@@ -324,9 +324,12 @@ def point_gemm(n, backend, dt: DT, cfg="nn"):
     ta = "N" if cfg[0] == "n" else dt.trans_char()
     tb = "N" if cfg[1] == "n" else dt.trans_char()
     A, B, C = dt.rand(n, 0), dt.rand(n, 1), dt.rand(n, 2)
-    f = jax.jit(lambda a: blocked.gemm(ta, tb, 1.0, a, B, -1.0, C,
-                                       backend=backend))
-    sec, D = _time(f, A, n, dt.letter)
+    # operands travel as jit ARGUMENTS, not closures: a closed-over device
+    # array is inlined into the HLO as a literal, and at n=4096 f64 the
+    # 2x134 MB of literals overflowed the remote-compile request (HTTP 413)
+    f = jax.jit(lambda abc: blocked.gemm(ta, tb, 1.0, abc[0], abc[1],
+                                         -1.0, abc[2], backend=backend))
+    sec, D = _time(f, (A, B, C), n, dt.letter)
     Dnp = dt.to_np(D)
     An, Bn, Cn = dt.to_np(A), dt.to_np(B), dt.to_np(C)
 
@@ -361,9 +364,9 @@ def point_gemm_k(k, backend, dt: DT, cfg="nn"):
     A = rect(M, k, 0) if ta == "N" else rect(k, M, 0)
     B = rect(k, M, 1) if tb == "N" else rect(M, k, 1)
     C = rect(M, M, 2)
-    f = jax.jit(lambda a: blocked.gemm(ta, tb, 1.0, a, B, -1.0, C,
-                                       backend=backend))
-    sec, D = _time(f, A, max(k, 256), dt.letter)
+    f = jax.jit(lambda abc: blocked.gemm(ta, tb, 1.0, abc[0], abc[1],
+                                         -1.0, abc[2], backend=backend))
+    sec, D = _time(f, (A, B, C), max(k, 256), dt.letter)
     Dnp = dt.to_np(D)
     An, Bn, Cn = dt.to_np(A), dt.to_np(B), dt.to_np(C)
 
@@ -384,14 +387,15 @@ def point_syrk(n, backend, dt: DT, cfg="ln"):
     tri = np.tril if uplo == "L" else np.triu
     A, C = dt.rand(n, 0), dt.rand(n, 1)
     if dt.real:
-        f = jax.jit(lambda a: blocked.syrk(uplo, trans, -1.0, a, 1.0, C,
-                                           backend=backend))
+        f = jax.jit(lambda ac: blocked.syrk(uplo, trans, -1.0, ac[0], 1.0,
+                                            ac[1], backend=backend))
+        sec, D = _time(f, (A, C), n, dt.letter)
     else:
         # complex tier: the Hermitian rank-k update is HERK
         Ch = dt._tri(C, uplo)  # only the triangle is read; diag im ignored
-        f = jax.jit(lambda a: blocked.herk(uplo, trans, -1.0, a, 1.0, Ch,
-                                           backend=backend))
-    sec, D = _time(f, A, n, dt.letter)
+        f = jax.jit(lambda ac: blocked.herk(uplo, trans, -1.0, ac[0], 1.0,
+                                            ac[1], backend=backend))
+        sec, D = _time(f, (A, Ch), n, dt.letter)
     Dnp = tri(dt.to_np(dt._tri(D, uplo)))
     An = dt.to_np(A)
     Cn = tri(dt.to_np(dt._tri(C, uplo) if not dt.real else C))
@@ -427,9 +431,11 @@ def point_trmm(n, backend, dt: DT, cfg="llnn"):
     transa = "N" if cfg[2] == "n" else dt.trans_char()
     A = dt.chol_factor(n, uplo)
     B = dt.rand(n, 1)
-    f = jax.jit(lambda b: blocked.trmm(side, uplo, transa, diag, 1.0, A, b,
-                                       backend=backend))
-    sec, D = _time(f, B, n, dt.letter)
+    # B first in the pytree: bench_op perturbs the first leaf, and B feeds
+    # the matmuls every iteration (bench-op-hoisting discipline)
+    f = jax.jit(lambda ba: blocked.trmm(side, uplo, transa, diag, 1.0,
+                                        ba[1], ba[0], backend=backend))
+    sec, D = _time(f, (B, A), n, dt.letter)
     Dnp = dt.to_np(D)
     An = dt.to_np(A)
     Bn = dt.to_np(B)
@@ -448,9 +454,9 @@ def point_trsm(n, backend, dt: DT, cfg="llnn"):
     transa = "N" if cfg[2] == "n" else dt.trans_char()
     A = dt.chol_factor(n, uplo)
     B = dt.rand(n, 1)
-    f = jax.jit(lambda b: blocked.trsm(side, uplo, transa, diag, 1.0, A, b,
-                                       backend=backend))
-    sec, X = _time(f, B, n, dt.letter)
+    f = jax.jit(lambda ba: blocked.trsm(side, uplo, transa, diag, 1.0,
+                                        ba[1], ba[0], backend=backend))
+    sec, X = _time(f, (B, A), n, dt.letter)
     Xnp = dt.to_np(X)
     An = dt.to_np(A)
     Bn = dt.to_np(B)
