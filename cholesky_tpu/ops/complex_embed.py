@@ -39,20 +39,40 @@ from cholesky_tpu.types import Uplo, Diag, norm_diag, norm_uplo
 from cholesky_tpu.ops import blocked
 
 
+def _row_interleave(X, Y):
+    """(n,m) × (n,m) → (2n,m) with rows alternating X_i, Y_i.  The only
+    intermediate is (n,2,m) whose trailing dims tile to (8,128) at a 4×
+    padding cost — unlike a trailing dim of 2, which tiles at 64× (a
+    (n,2,m,2) interleave transpose at n=4096 allocates 16 GB of padded
+    HBM and OOMs the chip; that was the real cause of the cpotrf@4096
+    'tpu_compile_helper exit 1' sweep failure)."""
+    n, m = X.shape
+    return jnp.stack([X, Y], axis=1).reshape(2 * n, m)
+
+
+def _row_deinterleave(M):
+    """(2n,m) → even rows (n,m), odd rows (n,m); inverse of interleave."""
+    n2, m = M.shape
+    B = M.reshape(n2 // 2, 2, m)
+    return B[:, 0, :], B[:, 1, :]
+
+
 def embed(re, im):
-    """(n,m) real/imag planes → (2n,2m) interleaved real embedding."""
-    n, m = re.shape
-    blocks = jnp.stack([jnp.stack([re, -im], axis=-1),
-                        jnp.stack([im, re], axis=-1)], axis=-2)  # (n,m,2,2)
-    return blocks.transpose(0, 2, 1, 3).reshape(2 * n, 2 * m)
+    """(n,m) real/imag planes → (2n,2m) interleaved real embedding,
+    built from 2-D row interleaves only (column interleave = transposed
+    row interleave) so no intermediate carries a trailing dim of 2."""
+    P = _row_interleave(re, im)      # per-block column 0: [a; b]
+    Q = _row_interleave(-im, re)     # per-block column 1: [-b; a]
+    return _row_interleave(P.T, Q.T).T
 
 
 def unembed(M) -> Tuple[jax.Array, jax.Array]:
     """(2n,2m) interleaved embedding → (re, im) planes (reads the a / b
     positions; exact inverse of :func:`embed` on embedded matrices)."""
-    n, m = M.shape[0] // 2, M.shape[1] // 2
-    B = M.reshape(n, 2, m, 2)
-    return B[:, 0, :, 0], B[:, 1, :, 0]
+    even, odd = _row_deinterleave(M)
+    re = _row_deinterleave(even.T)[0].T
+    im = _row_deinterleave(odd.T)[0].T
+    return re, im
 
 
 def _split(A):

@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cholesky_tpu import config
 from cholesky_tpu.utils.vma import out_struct
 from cholesky_tpu.utils.pallas_x32 import pallas_call as pallas_call_x32
+from cholesky_tpu.utils.pallas_x32 import donated
 
 NB = 128            # panel width = lane width
 GRP = 16            # pivots per mini-sweep group (on-chip sweep over
@@ -257,7 +258,7 @@ def potrf_vmem_f32(A):
         # factor in place: halves the VMEM footprint
         input_output_aliases={0: 0},
         interpret=config.pallas_interpret(),
-    )(Afull)
+    )(donated(Afull))
     return U.T, info[0, 0]
 
 
@@ -382,7 +383,7 @@ def potrf_hbm_f32(A):
                         pltpu.SemaphoreType.DMA((3,))],
         input_output_aliases={0: 0},
         interpret=config.pallas_interpret(),
-    )(Afull)
+    )(donated(Afull))
     # the upper-form factor U lives in the panel rows; everything below
     # (frozen raw input past a failure) is masked at the XLA level
     return jnp.tril(U.T), info[0, 0]
@@ -456,7 +457,7 @@ def lauum_hbm_f32(A):
                         pltpu.SemaphoreType.DMA((3,))],
         input_output_aliases={0: 0},
         interpret=config.pallas_interpret(),
-    )(jnp.tril(A))
+    )(donated(jnp.tril(A)))
     return jnp.tril(out)
 
 
@@ -521,7 +522,7 @@ def trtri_vmem_f32(A):
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         input_output_aliases={0: 0},      # invert in place (VMEM budget)
         interpret=config.pallas_interpret(),
-    )(jnp.tril(A).T)
+    )(donated(jnp.tril(A).T))
     return V.T, info[0, 0]
 
 
@@ -634,5 +635,5 @@ def trtri_hbm_f32(A):
                         pltpu.SemaphoreType.DMA((3,))],
         input_output_aliases={0: 0},
         interpret=config.pallas_interpret(),
-    )(jnp.tril(A).T)
+    )(donated(jnp.tril(A).T))
     return V.T, info[0, 0]

@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cholesky_tpu import config
 from cholesky_tpu.utils.vma import out_struct
 from cholesky_tpu.utils.pallas_x32 import pallas_call as pallas_call_x32
+from cholesky_tpu.utils.pallas_x32 import donated
 
 DEFAULT_BN, DEFAULT_BK = 256, 512
 
@@ -119,7 +120,7 @@ def syrk_f32(A, C, *, alpha: float = 1.0, beta: float = 1.0,
             bytes_accessed=4 * (2 * T * bn_ * kp + 2 * T * bn_ * bn_),
             transcendentals=0),
         interpret=config.pallas_interpret(),
-    )(jnp.asarray(ii), jnp.asarray(jj), Ap, Ap, Cp)
+    )(jnp.asarray(ii), jnp.asarray(jj), Ap, Ap, donated(Cp))
     if np_ != n:
         out = out[:n, :n]
     return out

@@ -41,3 +41,20 @@ def pallas_call(*args, **kwargs):
             return call(*operands)
 
     return wrapped
+
+
+def donated(x):
+    """Materialize an operand that is aliased into a kernel output.
+
+    An operand that is BOTH produced by a fusion (``jnp.tril``/transpose/
+    pad) AND donated via ``input_output_aliases`` can arrive corrupted on
+    the chip when the surrounding compiled program is large: observed as
+    ``blocked.trsm`` n=3072 with a (3072, 3072) rhs returning garbage in
+    rows 2688-2943 — value-independent, deterministic per program, clean
+    in isolation and in interpret mode (tools/probe_ctrsm.py bisection,
+    round 4).  Forcing the fused producer through an optimization barrier
+    materializes the buffer before XLA donates it, which removes the
+    corruption at no measured cost (the buffer had to be materialized for
+    the kernel anyway).  Apply to EVERY aliased pallas operand.
+    """
+    return jax.lax.optimization_barrier(x)
