@@ -169,7 +169,27 @@ def probes():
         finally:
             jax.config.update("jax_enable_x64", x64)
 
+    def p_trsm_wide():
+        # regression gate for the donated-alias corruption (f626f39): a
+        # 3072-size trsm recursion with a WIDE rhs corrupted rows
+        # 2688-2943 value-independently when the aliased trti2-leaf input
+        # arrived from a fusion. Must run through blocked.trsm (the bug
+        # only manifests inside large compiled programs).
+        from cholesky_tpu.ops import blocked
+        n = 3072
+        G = jax.random.uniform(jax.random.PRNGKey(7), (n, n), jnp.float32) - 0.5
+        L = jnp.tril(G) + 48.0 * jnp.eye(n, dtype=jnp.float32)
+        B = jax.random.uniform(jax.random.PRNGKey(8), (n, n), jnp.float32) - 0.5
+        X = _force(jax.jit(lambda l, b: blocked.trsm(
+            "L", "L", "N", "N", 1.0, l, b, backend="auto"))(L, B))
+        Xn = np.asarray(X, np.float64)
+        Ln = np.tril(np.asarray(L, np.float64))
+        r = np.max(np.abs(Ln @ Xn - np.asarray(B, np.float64)))
+        r /= np.max(np.abs(Xn)) * np.max(np.abs(Ln))
+        return r < 1e-5, f"scaled_resid={r:.2e}"
+
     return [("leaf.potf2_f32", p_potf2), ("leaf.trti2_f32", p_trti2),
+            ("blocked.trsm_wide_3072", p_trsm_wide),
             ("leaf.lauu2_f32", p_lauu2), ("mega.potrf_vmem_f32", p_mega_potrf),
             ("mega.trtri_vmem_f32", p_mega_trtri),
             ("mega.potrf_hbm_f32", p_mega_potrf_hbm),
