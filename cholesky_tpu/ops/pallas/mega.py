@@ -479,10 +479,18 @@ def _trtri_vmem_kernel(a_ref, o_ref, info_ref, *, n):
     crow_t = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     eye_t = (rows_t == cols_t).astype(jnp.float32)
 
+    # NEVER read a_ref after this point: with the {0: 0} alias, a_ref and
+    # o_ref are two refs on ONE buffer, and Mosaic tracks memory
+    # dependencies per-ref — an a_ref load can be scheduled across an
+    # overlapping o_ref store (r4: deterministic wide-rhs trsm corruption
+    # at n=3072/4096, value-independent, isolation-clean; probe_ctrsm.py).
+    # All in-place reads go through o_ref, whose rows [base, base+nb) are
+    # untouched until this iteration writes them (the potrf/lauum/trtri
+    # HBM kernels already follow this single-ref discipline).
     info = jnp.int32(0)
     for jp in range(npanels - 1, -1, -1):
         base = jp * nb
-        Ap = a_ref[base:base + nb, base:n]             # original row panel
+        Ap = o_ref[base:base + nb, base:n]             # original row panel
         T = jnp.where(rows_t <= cols_t, Ap[:, :nb], 0.0)
         T, info = _utri_diag_info(T, base, info, rows_t, cols_t, crow_t, nb)
         X = _newton_uinv(T, rows_t, cols_t, eye_t, nb)

@@ -19,7 +19,10 @@ import json
 
 FRESH = {
     "c": {("trmm", 1536, "llnn"), ("trmm", 2048, "llnn"),
-          ("trsm", 1536, "llnn"), ("trsm", 2048, "llnn"),
+          ("trsm", 1536, "llnn"),
+          # trsm@2048 deliberately NOT preserved: recorded 0.01717 between
+          # the donated() fix and the single-ref trtri fix — re-swept below
+
           ("potrf", 1536, "l"), ("potrf", 3072, "l"), ("potrf", 4096, "l"),
           ("potri", 3072, "l"), ("logdet", 3072, "l")},
     "z": {("potrf", 3072, "l"), ("trmm", 3072, "llnn"),
@@ -41,6 +44,20 @@ for dt in "cz":
             for r in keep:
                 f.write(json.dumps(r) + "\n")
     print(f"{dt}: archived {len(old)}, kept {len(keep)} fresh")
+
+# s trsm rows at the wide-rhs corruption shapes predate the single-ref
+# trtri fix (3072/4096 are r3-era keys that --resume would skip): strip
+# so the chunks below re-record them on fixed code.
+p = "bench_results/golden_tpu_v5_lite_s.jsonl"
+rows = [json.loads(l) for l in open(p) if l.strip()]
+keep = [r for r in rows
+        if not (r["op"] == "trsm" and r["n"] in (3072, 4096)
+                and r.get("config") in ("auto", "llnn"))]
+if len(keep) != len(rows):
+    with open(p, "w") as f:
+        for r in keep:
+            f.write(json.dumps(r) + "\n")
+    print(f"s: stripped {len(rows) - len(keep)} pre-fix trsm row(s)")
 EOF
 
 run() {
@@ -51,6 +68,8 @@ run() {
 }
 
 # big-n first (most informative about the new embed)
+run c trsm 2048 golden_tpu_v5_lite_c.jsonl
+run s trsm 3072,4096,6144 golden_tpu_v5_lite_s.jsonl
 run c potri,trtri,lauum,logdet 1536,2048 golden_tpu_v5_lite_c.jsonl
 run c potrf 2048 golden_tpu_v5_lite_c.jsonl
 run z potrf,potri,trtri,lauum,logdet 1536,2048 golden_tpu_v5_lite_z.jsonl
