@@ -479,14 +479,18 @@ def _trtri_vmem_kernel(a_ref, o_ref, info_ref, *, n):
     crow_t = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     eye_t = (rows_t == cols_t).astype(jnp.float32)
 
-    # NEVER read a_ref after this point: with the {0: 0} alias, a_ref and
-    # o_ref are two refs on ONE buffer, and Mosaic tracks memory
-    # dependencies per-ref — an a_ref load can be scheduled across an
-    # overlapping o_ref store (r4: deterministic wide-rhs trsm corruption
-    # at n=3072/4096, value-independent, isolation-clean; probe_ctrsm.py).
-    # All in-place reads go through o_ref, whose rows [base, base+nb) are
-    # untouched until this iteration writes them (the potrf/lauum/trtri
-    # HBM kernels already follow this single-ref discipline).
+    # For VMEM blocks the {0: 0} alias binds the HBM BACKING buffers, not
+    # these VMEM working copies — o_ref starts UNINITIALIZED here.  The
+    # loop's Vtrail read spans the trailing square INCLUDING strictly-
+    # lower blocks the panels never write, so without this full init the
+    # kernel reads VMEM leftovers: zero in isolation (fresh VMEM, hence
+    # every isolated test passed) but recycled garbage inside large
+    # programs (r4: deterministic wide-rhs trsm corruption at n=3072/4096,
+    # value-independent — bisected in tools/probe_ctrsm.py).  The copy
+    # also provides the zero lower triangle Vtrail relies on, and all
+    # further reads go through o_ref (single-ref ordering), matching the
+    # potrf VMEM kernel's discipline.
+    o_ref[:] = a_ref[:]
     info = jnp.int32(0)
     for jp in range(npanels - 1, -1, -1):
         base = jp * nb
