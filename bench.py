@@ -148,14 +148,16 @@ PROJ_TOL = 1e-5
 N_QUICK = 1024     # tiny-compile first point: lands a real number in _best
                    # within seconds even on a fully cold cache/tunnel
 N_FIRST = 4096     # the reference's headline size — full verify here
-LADDER = (8192, 16384)   # ascending: compile artifacts are shared upward
+LADDER = (8192, 16384, 24576)  # ascending: compile artifacts shared upward
+# 24576 is the recorded single-chip ceiling (21.6 TF/s golden row; 32768
+# exhausts the 16 GB HBM) — attempted only with a full cold-compile budget
 # worst-case remaining cost per ladder stage (compile+measure+verify);
 # warm-cache measurements 2026-08-17: 8192 ≈ 21 s, 16384 ≈ 42 s; cold
 # compile adds ≈ 10-20 s each (persistent cache keys verified stable
 # across processes, incl. Pallas programs) — guard with idle-tunnel
 # headroom (first dispatch after hours of idle was observed to take
 # minutes; the quick point + watchdog make that survivable)
-STAGE_BUDGET_S = {8192: 120.0, 16384: 150.0}
+STAGE_BUDGET_S = {8192: 120.0, 16384: 150.0, 24576: 330.0}
 
 
 def _remaining():
