@@ -47,12 +47,31 @@ run s potrf 6144 golden_tpu_v5_lite_s.jsonl
 run s potrf 8192 golden_tpu_v5_lite_s.jsonl
 run s potrf 12288 golden_tpu_v5_lite_s.jsonl
 run s potrf 16384 golden_tpu_v5_lite_s.jsonl
-run s trtri 8192 golden_tpu_v5_lite_s.jsonl
+run s potrf 24576 golden_tpu_v5_lite_s.jsonl   # recorded single-chip ceiling
+run s trtri 8192,16384 golden_tpu_v5_lite_s.jsonl
+run s gemm,syrk 6144,8192,12288 golden_tpu_v5_lite_s.jsonl
+run s trmm,trsm 8192,15360 golden_tpu_v5_lite_s.jsonl
+run s potri,lauum,logdet 6144,8192 golden_tpu_v5_lite_s.jsonl
 run d potrf 6144 golden_tpu_v5_lite_d.jsonl
 run d potrf 8192 golden_tpu_v5_lite_d.jsonl
 run d trmm 6144 golden_tpu_v5_lite_d.jsonl
-run c potrf 3072,4096 golden_tpu_v5_lite_c.jsonl
+run d syrk 6144,8192 golden_tpu_v5_lite_d.jsonl
+run d gemm,trmm,trsm 8192 golden_tpu_v5_lite_d.jsonl
+run c potrf 3072,4096,6144 golden_tpu_v5_lite_c.jsonl
+run c trmm,trsm,trtri,lauum 3072,4096 golden_tpu_v5_lite_c.jsonl
+run c potri,logdet 4096 golden_tpu_v5_lite_c.jsonl
 run z potrf,trmm,trsm 1536,2048 golden_tpu_v5_lite_z.jsonl
+run z potrf,trmm,trsm 3072,4096 golden_tpu_v5_lite_z.jsonl
+run z potri,trtri,lauum,logdet 3072 golden_tpu_v5_lite_z.jsonl
+
+# 3b. c/z GEMM + HERK ladders (reference include/blas.h:37-66 treats
+# cgemm/zgemm/cherk/zherk as first-class; syrk with a complex dtype
+# sweeps blocked.herk)
+run c gemm 256,512,1024,2048,3072,4096 golden_tpu_v5_lite_c.jsonl
+run c syrk 256,512,1024,2048,3072 golden_tpu_v5_lite_c.jsonl
+run z gemm 256,512,1024,2048,3072 golden_tpu_v5_lite_z.jsonl
+run z syrk 256,512,1024,2048,3072 golden_tpu_v5_lite_z.jsonl
+run c gemm,syrk 1024 golden_tpu_v5_lite_c.jsonl --config grid
 
 # 4. variant-config grids (rows with config != auto for every driver)
 run s potrf,potri,trtri,lauum,logdet 512,1024,2048 golden_tpu_v5_lite_s.jsonl \
