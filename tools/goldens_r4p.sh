@@ -1,7 +1,13 @@
 #!/bin/bash
-# Round-4p surplus (session 6): complete the per-dtype driver families at
-# their recorded ceilings, ordered by value per chip-minute. Chained
-# after goldens_r4o; the T-45min deadline killer covers the whole tree.
+# Round-4p surplus (session 6).
+#   P0  re-record the 96 stale pre-r4 s rows (archived to
+#       golden_tpu_v5_lite_s_prer4_stale.jsonl): the whole s ladder at
+#       n<=4096 predated the donated-alias fix, the HBM mono kernels and
+#       the autotuned crossovers — the upper-variant rows at the same
+#       sizes (fresh schema) run up to 2-4x faster, so the stale rows
+#       both under-report the flagship dtype and mask regressions.
+#   P1+ complete the per-dtype driver families at their recorded
+#       ceilings, ordered by value per chip-minute.
 # Avoids known HBM-exhaust shapes (s@32768, d@12288+, z@6144+ which
 # embeds to a 12288-point f64 Ozaki factor). Every chunk is
 # --resume-safe and oracle-verified.
@@ -21,6 +27,15 @@ run() {
       --resume --out "$OUT/$f" "$@" || echo "(chunk exited $?)"
 }
 
+# P0: re-record the stripped pre-r4 s ladder on current code,
+# headline-visible mid-range first
+run s potrf,potri,trtri,lauum 1024,1280,1536,1792,2048 golden_tpu_v5_lite_s.jsonl
+run s trmm,trsm,gemm,syrk,logdet 1024,1280,1536,1792,2048 golden_tpu_v5_lite_s.jsonl
+run s potrf,potri,trtri,lauum 2560,3072,3584,4096 golden_tpu_v5_lite_s.jsonl
+run s trmm 2560,3072,3584,4096 golden_tpu_v5_lite_s.jsonl
+run s trsm 2560,3584 golden_tpu_v5_lite_s.jsonl
+run s potrf,potri,trtri,lauum,trmm,trsm,gemm,syrk,logdet 256,512,768 golden_tpu_v5_lite_s.jsonl
+run s potrf,trtri 128 golden_tpu_v5_lite_s.jsonl
 # P1: s trmm/trsm at the 16384 headline size (family: potrf/trtri/gemm/
 #     syrk@16384 recorded or queued in r4o)
 run s trmm,trsm 16384 golden_tpu_v5_lite_s.jsonl
