@@ -308,6 +308,128 @@ class _OzakiTiles(_XlaTiles):
         P = matmul_f64(L.T, L, slices=self.slices)
         return jnp.tril(P) + jnp.triu(A, 1)
 
+    def syrk_ln(self, alpha, A, beta, C):
+        """C = α·A·Aᵀ (+ β·C) with ONE peel serving both sides: the
+        B-side representation of A·Aᵀ (= split_rows((Aᵀ)ᵀ)) is exactly
+        the A-side one, so the generic ``mm`` path's second peel is pure
+        waste. Halves the HBM-bound peel traffic of every trailing
+        update in the d potrf/lauum recursions (VERDICT r4 Next #2;
+        reference dsyrk.cu's single-operand tiling, SURVEY.md §2.2)."""
+        from cholesky_tpu.ops.ozaki import matmul_presplit, split_rows
+        As, asc = split_rows(A, self.slices)
+        out = matmul_presplit(As, asc, As, asc, out_dtype=self.dtype)
+        if alpha != 1.0:
+            out = alpha * out
+        if C is not None and beta != 0.0:
+            out = out + (beta * C if beta != 1.0 else C)
+        return out
+
+    def trsm_rlt(self, L, B, nb):
+        """X·Lᵀ = B (the potrf panel solve) with L's peel hoisted across
+        all recursion levels (the trmm_lln pattern applied to the solve,
+        VERDICT r4 Next #2): the factor-side operand of every
+        off-diagonal update indexes ONE shared int8 representation
+        instead of re-peeling per call. Row scales come from the full
+        tril'd rows — restriction of a peel to a sub-block stays exact
+        (ozaki.split_rows), only the dropped-pair bound loosens from
+        blockmax to rowmax (irrelevant at slices=6 ≈ 2⁻⁴²)."""
+        from cholesky_tpu.ops.ozaki import matmul_presplit, split_rows
+        Lt = jnp.tril(L)    # a garbage strict-upper would poison the
+        Ls, lsc = split_rows(Lt, self.slices)      # shared row scales
+
+        def rec(i, n, B):
+            if n <= nb:
+                T, _ = self.trti2(Lt[i:i + n, i:i + n])
+                return self.mm(B, T, tb="C")
+            n1 = _split(n, nb)
+            X1 = rec(i, n1, B[:, :n1])
+            Xs, xsc = split_rows(X1, self.slices)
+            upd = matmul_presplit(Xs, xsc,
+                                  Ls[:, i + n1:i + n, i:i + n1],
+                                  lsc[i + n1:i + n], out_dtype=self.dtype)
+            X2 = rec(i + n1, n - n1, B[:, n1:] - upd)
+            return jnp.concatenate([X1, X2], axis=1)
+
+        return rec(0, L.shape[0], B)
+
+    def trsm_lln(self, L, B, nb, unit):
+        """L·X = B, forward sweep, L's peel hoisted (see trsm_rlt)."""
+        from cholesky_tpu.ops.ozaki import matmul_presplit, split_rows
+        Lt = jnp.tril(L)
+        Ls, lsc = split_rows(Lt, self.slices)
+
+        def rec(i, n, B):
+            if n <= nb:
+                T, _ = self.trti2(Lt[i:i + n, i:i + n], unit=unit)
+                if unit:
+                    T = _force_unit_diag(T)
+                return self.mm(T, B)
+            n1 = _split(n, nb)
+            X1 = rec(i, n1, B[:n1])
+            Xs, xsc = split_rows(X1.T, self.slices)
+            upd = matmul_presplit(Ls[:, i + n1:i + n, i:i + n1],
+                                  lsc[i + n1:i + n], Xs, xsc,
+                                  out_dtype=self.dtype)
+            X2 = rec(i + n1, n - n1, B[n1:] - upd)
+            return jnp.concatenate([X1, X2], axis=0)
+
+        return rec(0, L.shape[0], B)
+
+    def trsm_llt(self, L, B, nb, unit):
+        """Lᵀ·X = B, backward sweep; the hoisted representation is the
+        peel of Lᵀ (the A-side of every update is Mᵀ, a column slab)."""
+        from cholesky_tpu.ops.ozaki import matmul_presplit, split_rows
+        Lt = jnp.tril(L)
+        LTs, ltsc = split_rows(Lt.T, self.slices)
+
+        def rec(i, n, B):
+            if n <= nb:
+                T, _ = self.trti2(Lt[i:i + n, i:i + n], unit=unit)
+                if unit:
+                    T = _force_unit_diag(T)
+                return self.mm(T, B, ta="T")
+            n1 = _split(n, nb)
+            X2 = rec(i + n1, n - n1, B[n1:])
+            Xs, xsc = split_rows(X2.T, self.slices)
+            upd = matmul_presplit(LTs[:, i:i + n1, i + n1:i + n],
+                                  ltsc[i:i + n1], Xs, xsc,
+                                  out_dtype=self.dtype)
+            X1 = rec(i, n1, B[:n1] - upd)
+            return jnp.concatenate([X1, X2], axis=0)
+
+        return rec(0, L.shape[0], B)
+
+    def trtri_lower(self, L, nb, unit):
+        """Blocked lower triangular inverse with the factor-side peel of
+        every column update hoisted: M' = −W₂·M·W₁ reads M = L[2,1]
+        through one shared peel of Lᵀ (VERDICT r4 Next #2; reference
+        strtri.c:369-472 column-update scheme)."""
+        from cholesky_tpu.ops.ozaki import matmul_presplit, split_rows
+        Lt = jnp.tril(L)
+        LTs, ltsc = split_rows(Lt.T, self.slices)
+
+        def rec(i, n):
+            if n <= nb:
+                return self.trti2(Lt[i:i + n, i:i + n], unit=unit)
+            n1 = _split(n, nb)
+            W1, i1 = rec(i, n1)
+            W2, i2 = rec(i + n1, n - n1)
+            W1e = _force_unit_diag(W1) if unit else W1
+            W2e = _force_unit_diag(W2) if unit else W2
+            Ws, wsc = split_rows(W2e, self.slices)
+            P = matmul_presplit(Ws, wsc, LTs[:, i:i + n1, i + n1:i + n],
+                                ltsc[i:i + n1], out_dtype=self.dtype)
+            Mp = self.mm(P, W1e, alpha=-1.0)
+            n2 = n - n1
+            top = jnp.concatenate([W1, jnp.zeros((n1, n2), L.dtype)],
+                                  axis=1)
+            bot = jnp.concatenate([Mp, W2], axis=1)
+            info = jnp.where(i1 > 0, i1,
+                             jnp.where(i2 > 0, i2 + n1, 0)).astype(jnp.int32)
+            return jnp.concatenate([top, bot], axis=0), info
+
+        return rec(0, L.shape[0])
+
     def trmm_lln(self, L, B, nb):
         """Live-block L·B (L exactly lower-triangular) with the int8 slice
         peel HOISTED: both operands are peeled ONCE and every block matmul
@@ -407,6 +529,8 @@ def _trsm_rlt(L, B, t, nb):
     """Solve X·Lᴴ = B (right, lower, conj-transposed, non-unit) — the potrf
     panel solve, via the diagonal-inverse trick at the leaves.
     ("C" degrades to plain transpose for real dtypes.)"""
+    if hasattr(t, "trsm_rlt"):      # Ozaki: hoisted-peel recursion
+        return t.trsm_rlt(L, B, nb)
     n = L.shape[0]
     if n <= nb:
         T, _ = t.trti2(L)
@@ -421,6 +545,8 @@ def _trsm_rlt(L, B, t, nb):
 
 def _trsm_lln(L, B, t, nb, unit):
     """Solve L·X = B (left, lower, no-trans)."""
+    if hasattr(t, "trsm_lln"):      # Ozaki: hoisted-peel recursion
+        return t.trsm_lln(L, B, nb, unit)
     n = L.shape[0]
     if n <= nb:
         T, _ = t.trti2(L, unit=unit)
@@ -437,6 +563,8 @@ def _trsm_lln(L, B, t, nb, unit):
 
 def _trsm_llt(L, B, t, nb, unit):
     """Solve Lᵀ·X = B (left, lower, transposed)."""
+    if hasattr(t, "trsm_llt"):      # Ozaki: hoisted-peel recursion
+        return t.trsm_llt(L, B, nb, unit)
     n = L.shape[0]
     if n <= nb:
         T, _ = t.trti2(L, unit=unit)
@@ -483,6 +611,8 @@ def _potrf_lower(A, t, nb, allow_mega=False):
 
 
 def _trtri_lower(L, t, nb, unit, allow_mega=False):
+    if hasattr(t, "trtri_lower"):   # Ozaki: hoisted-peel recursion
+        return t.trtri_lower(L, nb, unit)
     n = L.shape[0]
     if n <= nb:
         return t.trti2(L, unit=unit)
@@ -818,7 +948,8 @@ def syrk(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
         and _static_scalar(beta) else None
     if t is not None:      # f64 on TPU: Ozaki tiles instead of software f64
         X = A if trans == Trans.NO_TRANS else A.T
-        full = t.mm(X, X, tb="T", alpha=alpha, beta=beta, C=C)
+        # syrk_ln: one peel serves both sides on the Ozaki tiles
+        full = t.syrk_ln(alpha, X, beta, C)
         return _merge_triangle(full, C, uplo)
     return blas_ref.syrk(uplo, trans, alpha, A, beta, C)
 

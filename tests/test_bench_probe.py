@@ -67,6 +67,34 @@ def test_dead_tunnel_gets_patient_retry_then_diagnostic_json():
     assert out["best"]["error"] == "tunnel dead"
 
 
+def test_dead_tunnel_carries_last_recorded_golden_value():
+    # VERDICT r4 Next #1: the real emit() must attach the best recorded
+    # potrf golden row (clearly labeled stale) so a relay death at capture
+    # time never again scores 0.0 with no context.  Uses the REAL emit —
+    # the diagnostic JSON goes to stdout.
+    env = dict(os.environ)
+    env["BENCH_DEADLINE_S"] = "120"
+    driver = (
+        "import jax, sys\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        "import bench\n"
+        "bench._cpu_platform_pinned = lambda: False\n"
+        "bench._tunnel_alive = lambda timeout_s=40.0: False\n"
+        "bench.main()\n"
+    )
+    r = subprocess.run([sys.executable, "-c", driver], capture_output=True,
+                       text=True, timeout=180, env=env, cwd=str(REPO))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["value"] == 0.0 and "tunnel dead" in out["error"]
+    lr = out["last_recorded"]
+    assert lr["value"] > 0 and "STALE" in lr["note"]
+    assert lr["source"] == "bench_results/golden_tpu_v5_lite_s.jsonl"
+    assert out["vs_baseline_last_recorded"] == pytest.approx(
+        lr["value"] / 175.0, abs=0.01)
+
+
 @pytest.mark.slow
 def test_cold_boot_recovery_runs_the_real_bench():
     # quick probe fails, patient succeeds (the measured cold-boot shape) ->

@@ -134,6 +134,68 @@ def test_dtrsm_ozaki_backend():
     assert scaled < 1e-8, scaled
 
 
+@pytest.mark.parametrize("uplo", ["L", "U"])
+@pytest.mark.parametrize("diag", ["N", "U"])
+def test_dtrtri_ozaki_hoisted_variants(uplo, diag):
+    # trtri routes through _OzakiTiles.trtri_lower (hoisted shared peel
+    # of Lᵀ, VERDICT r4 Next #2): cover upper + unit canonicalizations
+    T = generators.random_triangular(jax.random.PRNGKey(9), 200, uplo, diag,
+                                     jnp.float64)
+    W, info = blocked.trtri(uplo, diag, T, backend="ozaki", block_size=64)
+    assert int(info) == 0
+    tri = np.tril if uplo == "L" else np.triu
+    M = tri(np.asarray(T))
+    if diag == "U":
+        np.fill_diagonal(M, 1.0)
+    ref = np.linalg.inv(M)
+    if diag == "U":
+        # contract: unit-diagonal entries pass through untouched
+        np.fill_diagonal(ref, np.diag(np.asarray(T)))
+    rel = np.max(np.abs(tri(np.asarray(W)) - tri(ref))) / \
+        np.max(np.abs(ref))
+    assert rel < 1e-8, rel
+
+
+@pytest.mark.parametrize("side", ["L", "R"])
+@pytest.mark.parametrize("uplo", ["L", "U"])
+@pytest.mark.parametrize("trans", ["N", "T"])
+@pytest.mark.parametrize("diag", ["N", "U"])
+def test_dtrsm_ozaki_all_combos(side, uplo, trans, diag):
+    # the 16 canonicalized combos all land on the hoisted-peel
+    # _OzakiTiles.trsm_lln / trsm_llt recursions (VERDICT r4 Next #2);
+    # reference per-combination kernels blas/dtrsm.cu
+    na = 200 if side == "L" else 96
+    T = generators.random_triangular(jax.random.PRNGKey(3), na, uplo, diag,
+                                     jnp.float64)
+    B = jnp.asarray(np.random.RandomState(4).randn(200, 96))
+    X = blocked.trsm(side, uplo, trans, diag, 0.9, T, B,
+                     backend="ozaki", block_size=64)
+    M = np.tril(np.asarray(T)) if uplo == "L" else np.triu(np.asarray(T))
+    if diag == "U":
+        np.fill_diagonal(M, 1.0)
+    M = M if trans == "N" else M.T
+    if side == "L":
+        ref = np.linalg.solve(M, 0.9 * np.asarray(B))
+    else:
+        ref = np.linalg.solve(M.T, 0.9 * np.asarray(B).T).T
+    rel = np.max(np.abs(np.asarray(X) - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-8, (side, uplo, trans, diag, rel)
+
+
+def test_dsyrk_ozaki_single_peel():
+    # public syrk on the Ozaki tiles goes through syrk_ln (one peel for
+    # both sides); verify against the two-peel generic mm formulation
+    A = jnp.asarray(np.random.RandomState(7).randn(200, 96))
+    C = jnp.asarray(np.random.RandomState(8).randn(200, 200))
+    out = blocked.syrk("L", "N", 0.5, A, -1.0, C, backend="ozaki")
+    ref = 0.5 * (np.asarray(A) @ np.asarray(A).T) - np.asarray(C)
+    got = np.tril(np.asarray(out))
+    assert np.max(np.abs(got - np.tril(ref))) < 1e-10 * np.max(np.abs(ref))
+    # strict upper passes through
+    np.testing.assert_array_equal(np.triu(np.asarray(out), 1),
+                                  np.triu(np.asarray(C), 1))
+
+
 def test_dgemm_ozaki_backend():
     A = jnp.asarray(np.random.RandomState(7).randn(100, 80))
     B = jnp.asarray(np.random.RandomState(8).randn(80, 60))
