@@ -79,8 +79,10 @@ def probe_ici(mb=64):
     must EXIST even where the hardware doesn't (VERDICT r1 Missing #7)."""
     devs = jax.devices()
     if len(devs) < 2:
-        return {"skipped": f"single {devs[0].device_kind} device — "
-                           "ICI probe needs >= 2 chips"}
+        return {"unavailable": "single chip — ICI bandwidth cannot be "
+                               "measured on this attachment",
+                "device_kind": devs[0].device_kind,
+                "n_devices": 1}
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     n = int(mb * 1024 * 1024 // 4)
     mesh = Mesh(np.asarray(devs), ("x",))
@@ -99,6 +101,35 @@ def probe_ici(mb=64):
     moved = (len(devs) - 1) * n * 4
     return {"all_gather_gbps_per_chip": round(moved / t / 1e9, 1),
             "n_devices": len(devs)}
+
+
+def probe_compile_cost(n=1024):
+    """Program build/load cost (the reference's module-test.c:11 analog,
+    SURVEY.md §1 L5): first compile of a distinct XLA program vs a warm
+    re-trace of the already-loaded executable vs a fresh-jit lookup that
+    can hit the persistent compilation cache. On a remote-attached chip
+    the first compile includes the tunnel round-trip (15-60s cold)."""
+    A = jnp.ones((n, n), jnp.float32)
+
+    def body(x):
+        # unique constant so this program can't pre-exist in the cache
+        return jnp.matmul(x, x + 0.123456789,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    f = jax.jit(body)
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(A))
+    first_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(A))
+    warm_s = time.perf_counter() - t0
+    g = jax.jit(body)            # new jit object, same program: cache path
+    t0 = time.perf_counter()
+    jax.block_until_ready(g(A))
+    cached_s = time.perf_counter() - t0
+    return {"first_compile_s": round(first_s, 2),
+            "warm_call_s": round(warm_s, 3),
+            "fresh_jit_cached_s": round(cached_s, 2)}
 
 
 def probe_timer():
@@ -129,6 +160,8 @@ def main():
     out["dispatch"] = probe_dispatch()
     log("probing ici ...")
     out["ici"] = probe_ici()
+    log("probing compile cost ...")
+    out["compile_cost"] = probe_compile_cost()
     log("probing timer semantics ...")
     out["timer"] = probe_timer()
     out["flop_word"] = round(
