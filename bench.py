@@ -175,9 +175,12 @@ def _tunnel_alive(timeout_s: float = 40.0) -> bool:
     except Exception:
         return False
 
-# shared with the dev/autotune cache so repeat runs on this machine reuse
-# warm compilations; min_compile_time 0 caches even the cheap programs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_autotune_cache")
+# shared with the sweep/golden cache — the dir every long on-chip session
+# already populated — so bench compiles are warm whenever any sweep ran on
+# this machine (r5: the round-start capture burned its whole budget on
+# cold compiles against a cache dir nothing else wrote to);
+# min_compile_time 0 caches even the cheap programs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_sweep_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from cholesky_tpu.ops import blocked           # noqa: E402
@@ -304,19 +307,23 @@ def main():
     if not _cpu_platform_pinned():
         _stage = "tunnel probe"
         if not _tunnel_alive():
-            # cold-boot VMs take minutes on the FIRST dispatch (TPU claim;
-            # 269 s measured) — retry once with a patient window before
-            # concluding the relay is dead
-            _stage = "tunnel probe (patient)"
-            log("tunnel probe: 40s attempt timed out; retrying with a "
-                "300s window (cold-boot first dispatch takes ~270s)")
-            if not _tunnel_alive(timeout_s=300.0):
-                log("tunnel probe FAILED: tiny-dispatch subprocess timed "
-                    "out twice (40s + 300s) — axon relay is down; emitting "
-                    "without touching the backend")
-                _best["error"] = "tunnel dead"
-                emit()
-                return
+            # EVERY process pays its own TPU claim, and a claim right
+            # after another process released the chip takes ~300 s (r5:
+            # measured 306.8 s in-process after a fast subprocess probe).
+            # A patient SUBPROCESS retry here would claim + release +
+            # force the main process to claim AGAIN — two ~300 s stalls,
+            # a guaranteed watchdog zero.  So a quick-probe failure now
+            # proceeds straight to the in-process claim below: one claim
+            # total, watchdog-guarded.  A truly dead relay hangs the
+            # warmup dispatch until the watchdog emits the diagnostic
+            # JSON (with last_recorded) at the deadline — same output as
+            # the old early exit, just at t=deadline instead of t=340.
+            _stage = "tunnel warmup (post-failed-probe; dead relay hangs" \
+                     " here until the watchdog emits)"
+            log("tunnel probe: 40s attempt timed out; proceeding to the "
+                "single in-process claim under the watchdog (a claim "
+                "after a recent release takes ~300s)")
+            _best["error"] = "tunnel dead"     # cleared by _record()
     _stage = "backend init"
     backend = jax.default_backend()
     log(f"device: {jax.devices()[0]} (backend={backend}) "
@@ -340,6 +347,12 @@ def main():
             log(f"quick point failed: {e}")
 
     n = N_FIRST if backend == "tpu" else 512  # CPU fallback keeps CI useful
+    if backend == "tpu" and _remaining() < 100.0 and _best["value"] > 0.0:
+        # claim + cold compiles ate the budget but the quick point landed:
+        # emit it rather than risk the watchdog zeroing a verified number
+        log(f"skipping n={n}: {_remaining():.0f}s left < 100s stage budget")
+        emit()
+        return
     gf, resid, info = _measure(n, backend, full_verify=True)
     if info != 0 or resid > 1e-5:
         # keep any verified quick-point value; just flag the failure

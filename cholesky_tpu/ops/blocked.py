@@ -65,6 +65,7 @@ def _mega_ok(n: int, op: str = "potrf") -> bool:
         return 0 < n and (n <= _pm.NB or n % _pm.NB == 0)
     from cholesky_tpu.tuning import get_params
     hard = {"potrf": _pm.POTRF_HBM_MAX_N,
+            "trtri": _pm.TRTRI_HBM_MAX_N,
             "lauum": _pm.LAUUM_HBM_MAX_N}.get(op, _pm.HBM_MAX_N)
     cap = min(hard, int(get_params(f"{op}_f32").get("mega_max_n", hard)))
     return n <= cap and n % _pm.NB == 0

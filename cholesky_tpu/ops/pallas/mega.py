@@ -64,10 +64,12 @@ LAUUM_HBM_MAX_N = 8192  # lauum mono kernel (r4): panel 4 MB + ktile 8 MB
                     # at 8192; lower-form row-panel k-stream, no info.
 POTRF_HBM_MAX_N = 8192  # potrf only (r4): its fori k-loop keeps code size
                     # O(npanels) and its VMEM scratch at 8192 is panel
-                    # 4 MB + ktile 8 MB ≈ 12 MB; trtri (also fori in r4,
-                    # via the bpanel block re-layout) stays at HBM_MAX_N —
-                    # its bpanel scratch would push 8192 to ≈ 16 MB, over
-                    # the chip's VMEM.
+                    # 4 MB + ktile 8 MB ≈ 12 MB.
+TRTRI_HBM_MAX_N = 8192  # trtri (r5): the half-width 2-slot k-stream cut
+                    # ktile from 8 MB to 4 MB, so panel 4 + bpanel 4 +
+                    # ktile 4 ≈ 12 MB fits at 8192 like potrf's kernel
+                    # (the r4 full-width ktile put 8192 at 16 MB, over
+                    # VMEM, which is why the cap sat at 4096).
 
 _HI = dict(preferred_element_type=jnp.float32,
            precision=lax.Precision.HIGHEST)
@@ -557,7 +559,16 @@ def _trtri_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref,
     per-block scratch ``bpanel_ref`` with STATIC lane slices (one cheap
     VMEM vector copy per block), and the loop indexes blocks by the
     always-legal leading dimension.  The panel's trailing region then
-    doubles as the accumulator (its B content lives on in bpanel)."""
+    doubles as the accumulator (its B content lives on in bpanel).
+
+    r5 (VERDICT r4 Next #4): each trailing V row block streams as TWO
+    half-width DMAs into fixed half-slots (left→slot 0, right→slot 1)
+    pipelined against compute — right(i) flies during left(i)'s matmul,
+    left(i+1) during right(i)'s — so ktile needs only HALF the panel
+    width per slot.  VMEM at n=8192: panel 4 MB + bpanel 4 MB + ktile
+    2×2 MB ≈ 12 MB (the old full-width 2-slot ktile put the total at
+    16 MB, over budget — the reason the r4 cap sat at 4096).  All lane
+    offsets stay python-static: the halves are fixed per panel."""
     npanels = n // NB
     rows_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 0)
     cols_t = lax.broadcasted_iota(jnp.int32, (NB, NB), 1)
@@ -585,30 +596,47 @@ def _trtri_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref,
             for kl in range(nk):
                 bpanel_ref[kl] = panel_ref[:, NB + kl * NB:NB + (kl + 1) * NB]
 
-            def get_k(slot, i, base=base, m=m, k0=k0):
-                # trailing V row block k0+i (absolute rows), live columns
+            # fixed half-split of the live width (python ints — every
+            # lane offset below is static)
+            h1 = ((nk + 1) // 2) * NB
+            h2 = m - h1
+
+            def get_half(slot, i, col0, wc, k0=k0):
+                # trailing V row block k0+i (absolute rows), half columns
                 return pltpu.make_async_copy(
-                    o_ref.at[pl.ds((i + k0) * NB, NB), pl.ds(base + NB, m)],
-                    ktile_ref.at[slot, :, pl.ds(0, m)],
+                    o_ref.at[pl.ds((i + k0) * NB, NB), pl.ds(col0, wc)],
+                    ktile_ref.at[slot, :, pl.ds(0, wc)],
                     sems.at[1 + slot])
 
-            get_k(jnp.int32(0), jnp.int32(0)).start()
+            get_half(0, jnp.int32(0), base + NB, h1).start()
             # the panel's trailing region becomes the accumulator
             panel_ref[:, NB:w] = jnp.zeros((NB, m), jnp.float32)
 
-            def kbody(i, _, w=w, m=m, nk=nk, get_k=get_k):
-                two = jnp.int32(2)
-                cur = lax.rem(i, two)
-
-                @pl.when(i + 1 < nk)
-                def _():
-                    get_k(lax.rem(i + jnp.int32(1), two), i + 1).start()
-
-                get_k(cur, i).wait()
+            def kbody(i, _, w=w, nk=nk, base=base, h1=h1, h2=h2,
+                      get_half=get_half):
+                if h2 > 0:
+                    get_half(1, i, base + NB + h1, h2).start()
+                get_half(0, i, base + NB, h1).wait()
                 Bk = bpanel_ref[i]
-                panel_ref[:, NB:w] = panel_ref[:, NB:w] + lax.dot_general(
-                    Bk, ktile_ref[cur, :, :m], (((1,), (0,)), ((), ())),
-                    **_HI)
+                panel_ref[:, NB:NB + h1] = (
+                    panel_ref[:, NB:NB + h1] + lax.dot_general(
+                        Bk, ktile_ref[0, :, :h1],
+                        (((1,), (0,)), ((), ())), **_HI))
+                if h2 > 0:
+                    get_half(1, i, base + NB + h1, h2).wait()
+
+                    @pl.when(i + 1 < nk)
+                    def _():
+                        get_half(0, i + 1, base + NB, h1).start()
+
+                    panel_ref[:, NB + h1:w] = (
+                        panel_ref[:, NB + h1:w] + lax.dot_general(
+                            Bk, ktile_ref[1, :, :h2],
+                            (((1,), (0,)), ((), ())), **_HI))
+                else:
+                    @pl.when(i + 1 < nk)
+                    def _():
+                        get_half(0, i + 1, base + NB, h1).start()
                 return jnp.int32(0)
 
             lax.fori_loop(jnp.int32(0), jnp.int32(nk), kbody, jnp.int32(0))
@@ -626,13 +654,14 @@ def _trtri_hbm_kernel(a_ref, o_ref, info_ref, panel_ref, ktile_ref,
 
 @jax.jit
 def trtri_hbm_f32(A):
-    """Lower-triangular inverse for 1024 < n ≤ HBM_MAX_N in ONE kernel,
-    matrix in HBM with streamed 128-row panels; returns (W, info), strict
-    upper zeroed. Only the lower triangle of ``A`` is read. Contract of
-    :func:`trtri_vmem_f32` without its VMEM size cap."""
+    """Lower-triangular inverse for 1024 < n ≤ TRTRI_HBM_MAX_N in ONE
+    kernel, matrix in HBM with streamed 128-row panels; returns (W, info),
+    strict upper zeroed. Only the lower triangle of ``A`` is read.
+    Contract of :func:`trtri_vmem_f32` without its VMEM size cap."""
     n = A.shape[0]
     assert A.shape == (n, n) and A.dtype == jnp.float32
-    assert n % NB == 0 and n <= HBM_MAX_N, (n, HBM_MAX_N)
+    assert n % NB == 0 and n <= TRTRI_HBM_MAX_N, (n, TRTRI_HBM_MAX_N)
+    hw = max(NB, (n // NB // 2) * NB)   # half-slot width (max h1)
     V, info = pallas_call_x32(
         functools.partial(_trtri_hbm_kernel, n=n),
         out_shape=(out_struct((n, n), jnp.float32, A),
@@ -641,7 +670,7 @@ def trtri_hbm_f32(A):
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.VMEM((NB, n), jnp.float32),
-                        pltpu.VMEM((2, NB, n), jnp.float32),
+                        pltpu.VMEM((2, NB, hw), jnp.float32),
                         pltpu.VMEM((max(1, n // NB - 1), NB, NB),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA((3,))],

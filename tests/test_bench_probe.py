@@ -1,14 +1,18 @@
-"""Pins for bench.py's two-stage tunnel-liveness probe (r4 session 6).
+"""Pins for bench.py's single-claim tunnel-liveness flow (r5).
 
-A cold-boot VM's FIRST dispatch includes the remote TPU claim (269 s
-measured) — a single 40 s probe falsely declares the relay dead on every
-fresh VM, which is the exact scoreboard zero VERDICT r3 punished.  bench.py
-therefore retries a failed 40 s probe once with a 300 s window before
-emitting ``{"error": "tunnel dead"}``.
+Every process pays its own remote-TPU claim, and a claim issued right
+after another process released the chip takes ~300 s (r5: 306.8 s
+measured in-process after a FAST subprocess probe).  bench.py therefore
+makes exactly ONE claim: a failed 40 s quick probe no longer triggers a
+patient subprocess retry (that claim+release forced the main process to
+claim AGAIN — two ~300 s stalls, a guaranteed watchdog zero); instead the
+main process proceeds straight to its in-process claim, and a truly dead
+relay hangs there until the import-time watchdog emits the diagnostic
+JSON (with the last-recorded golden value) at BENCH_DEADLINE_S.
 
-bench.py starts a daemon watchdog thread AT IMPORT that hard-exits the
-process at BENCH_DEADLINE_S, so it must be driven in a subprocess — never
-imported into the test process.
+bench.py starts the daemon watchdog thread AT IMPORT and it hard-exits
+the process, so bench must be driven in a subprocess — never imported
+into the test process.
 """
 
 import json
@@ -32,6 +36,7 @@ calls = []
 bench._cpu_platform_pinned = lambda: False
 bench._tunnel_alive = lambda timeout_s=40.0: (calls.append(timeout_s),
                                               {alive_seq})[1]
+{extra}
 emitted = []
 bench.emit = lambda: emitted.append(dict(bench._best))
 bench.main()
@@ -40,12 +45,12 @@ print("BEST=" + json.dumps(emitted[-1]))
 """
 
 
-def _run(alive_expr: str, deadline: str = "120") -> dict:
+def _run(alive_expr: str, deadline: str = "120", extra: str = "") -> dict:
     env = dict(os.environ)
     env["BENCH_DEADLINE_S"] = deadline
     r = subprocess.run(
         [sys.executable, "-c",
-         _DRIVER.format(repo=str(REPO), alive_seq=alive_expr)],
+         _DRIVER.format(repo=str(REPO), alive_seq=alive_expr, extra=extra)],
         capture_output=True, text=True, timeout=int(deadline) + 60, env=env,
         cwd=str(REPO))
     assert r.returncode == 0, r.stderr[-2000:]
@@ -59,33 +64,39 @@ def _run(alive_expr: str, deadline: str = "120") -> dict:
     return out
 
 
-def test_dead_tunnel_gets_patient_retry_then_diagnostic_json():
-    # both probes fail -> [40, 300] attempted, "tunnel dead" emitted
-    # WITHOUT the backend ever being initialized
+def test_failed_probe_makes_exactly_one_quick_attempt_then_proceeds():
+    # the quick probe fails ONCE ([40] only — no 300 s subprocess retry,
+    # that second claim+release is what starved the main process in r5),
+    # and main() proceeds to its own in-process claim; on this CPU-pinned
+    # driver the "claim" succeeds instantly and the bench completes, so
+    # the pre-seeded "tunnel dead" error must have been cleared by the
+    # first recorded stage
     out = _run("False")
-    assert out["calls"] == [40.0, 300.0]
-    assert out["best"]["error"] == "tunnel dead"
+    assert out["calls"] == [40.0]
+    assert "error" not in out["best"]
+    assert out["best"].get("value", 0) > 0
 
 
-def test_dead_tunnel_carries_last_recorded_golden_value():
-    # VERDICT r4 Next #1: the real emit() must attach the best recorded
-    # potrf golden row (clearly labeled stale) so a relay death at capture
-    # time never again scores 0.0 with no context.  Uses the REAL emit —
-    # the diagnostic JSON goes to stdout.
+def test_dead_relay_hang_is_bounded_by_watchdog_with_last_recorded():
+    # a truly dead relay hangs the in-process claim forever; the watchdog
+    # must hard-exit at BENCH_DEADLINE_S having printed the diagnostic
+    # JSON with the "tunnel dead" error AND the last-recorded golden row
+    # (VERDICT r4 Next #1).  Simulated by hanging backend init; uses the
+    # REAL emit + watchdog — the JSON goes to stdout.
     env = dict(os.environ)
-    env["BENCH_DEADLINE_S"] = "120"
+    env["BENCH_DEADLINE_S"] = "25"
     driver = (
-        "import jax, sys\n"
+        "import jax, sys, time\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
         f"sys.path.insert(0, {str(REPO)!r})\n"
         "import bench\n"
         "bench._cpu_platform_pinned = lambda: False\n"
         "bench._tunnel_alive = lambda timeout_s=40.0: False\n"
+        "bench.jax.default_backend = lambda: time.sleep(3600)\n"
         "bench.main()\n"
     )
     r = subprocess.run([sys.executable, "-c", driver], capture_output=True,
-                       text=True, timeout=180, env=env, cwd=str(REPO))
-    assert r.returncode == 0, r.stderr[-2000:]
+                       text=True, timeout=120, env=env, cwd=str(REPO))
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["value"] == 0.0 and "tunnel dead" in out["error"]
     lr = out["last_recorded"]
@@ -96,10 +107,10 @@ def test_dead_tunnel_carries_last_recorded_golden_value():
 
 
 @pytest.mark.slow
-def test_cold_boot_recovery_runs_the_real_bench():
-    # quick probe fails, patient succeeds (the measured cold-boot shape) ->
-    # bench proceeds to a real verified number on the CPU backend
-    out = _run("(False if len(calls) == 1 else True)", deadline="300")
-    assert out["calls"] == [40.0, 300.0]
+def test_alive_probe_runs_the_real_bench():
+    # healthy path: quick probe succeeds -> single claim -> real verified
+    # number on the CPU backend
+    out = _run("True", deadline="300")
+    assert out["calls"] == [40.0]
     assert "error" not in out["best"]
     assert out["best"].get("value", 0) > 0

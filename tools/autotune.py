@@ -27,7 +27,9 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_autotune_cache")
+# shared with the sweep/golden/bench cache so crossover probes reuse the
+# warm compilations any prior on-chip session already paid for
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_sweep_cache")
 
 from cholesky_tpu.ops.pallas import gemm as pgemm
 from cholesky_tpu.ops.pallas import syrk as psyrk
@@ -159,11 +161,12 @@ def tune_mega_crossover(leaf_nb, quick=False, op="potrf"):
         sizes = (2048, 4096, 8192) if quick else (2048, 3072, 4096, 8192)
         flops = lambda n: n ** 3 / 3
     else:
-        hard = pmega.HBM_MAX_N
+        hard = pmega.TRTRI_HBM_MAX_N   # r5: half-width k-stream lifts 4096->8192
         mono = lambda x: pmega.trtri_hbm_f32(x)[0]
         rec = lambda x: blocked.trtri("L", "N", x, backend="pallas",
                                       block_size=leaf_nb)[0]
-        sizes = (2048, 4096) if quick else (2048, 3072, 4096)
+        sizes = (2048, 4096, 8192) if quick else (2048, 3072, 4096, 6144,
+                                                  8192)
         flops = lambda n: n ** 3 / 3
     cap = pmega.MAX_N        # the VMEM tier is mono-kernel by construction
     for n in sizes:
