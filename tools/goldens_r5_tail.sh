@@ -5,6 +5,12 @@
 # stages (s small-n ladders, z gemm/herk grid densify) — and the d-family
 # rows were already archive-stripped, so finishing the P1 d re-records is
 # mandatory before anything else.
+# NEW in v2: the r5 re-record measured dpotrf@4096/6144 ~19% BELOW the
+# archived pre-hoist rows, so before burning ~40 min of chip on d
+# re-records we A/B the hoisted Ozaki peel (tools/probe_dhoist.py) and
+# pause briefly at a decision gate (touch /tmp/r5s/go to release early;
+# auto-releases after 15 min) so the session can revert/gate the hoist
+# first if it measures as a loss.
 # Every stage is deadline-aware: stage timeout = min(stage budget,
 # seconds until DEADLINE_UTC), so nothing holds the chip past the
 # driver's round-end bench window (CLAUDE.md rule 7).
@@ -36,6 +42,16 @@ run() {
   timeout "$t" python tools/sweep.py --dtype "$d" --ops "$o" --sizes "$s" \
       --resume --out "$OUT/$f" "$@" || echo "(chunk exited $?)"
 }
+
+# P-1: the hoist A/B probe, then the decision gate.
+echo "=== $(date +%H:%M:%S) probe_dhoist 6144,8192 ==="
+timeout 1800 python tools/probe_dhoist.py 6144,8192 \
+    || echo "(probe exited $?)"
+touch /tmp/r5s/probe_done
+GATE_END=$(( $(date +%s) + 900 ))
+while [ ! -f /tmp/r5s/go ] && [ "$(date +%s)" -lt "$GATE_END" ] \
+      && [ "$(left)" -gt 300 ]; do sleep 10; done
+echo "=== gate released at $(date -u +%H:%M:%S) (go=$([ -f /tmp/r5s/go ] && echo yes || echo timeout)) ==="
 
 # P1 completion (mandatory: the old rows are archive-stripped).
 run 2400 d potrf,trtri 4096,6144,8192 golden_tpu_v5_lite_d.jsonl
