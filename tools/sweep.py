@@ -36,8 +36,10 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
+from collections import deque
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -583,8 +585,28 @@ def main():
                           norm_cfg(r["op"], r.get("config")), r["n"]))
 
     fresh = []
+
+    def flush():
+        # Snapshot resumed + finalized rows after EVERY completed point:
+        # deadline-killed chunks keep what they measured (the 21:18 r5 d
+        # sweep lost 4 points ≈ 40 chip-minutes to the old exit-only write).
+        tmp = out_path.with_suffix(out_path.suffix + ".tmp")
+        with open(tmp, "w") as f:
+            for rec in results + fresh:
+                f.write(json.dumps(rec) + "\n")
+        os.replace(tmp, out_path)
+
+    def finalize(rec, holder, t, fpe):
+        t.join()
+        tol = _tol(dt, fpe, holder["scale"], rec["n"])
+        rec["max_err"] = float(f"{holder['err']:.3e}")
+        rec["tol"] = float(f"{tol:.3e}")
+        rec["passed"] = bool(holder["err"] <= tol and rec["info"] == 0)
+        fresh.append(rec)
+        flush()
+
     with TaskPool(4) as pool:
-        oracle_tasks = []
+        oracle_tasks = deque()
         for op in ops:
             for cfg in cfgs_for(op):
                 for n in sizes:
@@ -600,6 +622,7 @@ def main():
                                       "config": cfg, "backend": backend,
                                       "n": n, "passed": False,
                                       "error": f"{type(e).__name__}"})
+                        flush()
                         continue
                     rec = {"op": op, "dtype": dt.letter, "config": cfg,
                            "backend": backend, "n": n,
@@ -609,20 +632,21 @@ def main():
                     holder = {}
 
                     def run_oracle(oracle=oracle, holder=holder):
-                        holder["err"], holder["scale"] = oracle()
+                        err, scale = oracle()
+                        holder["scale"] = scale
+                        holder["err"] = err  # "err" in holder == done
                         return 0
 
                     t = pool.run(len(oracle_tasks) % 4, run_oracle)
                     oracle_tasks.append((rec, holder, t, fpe))
                     log(f"{op}[{dt.letter}/{cfg}] n={n}: {rec['gflops']} "
                         f"GF/s ({rec['time_ms']} ms)")
-        for rec, holder, t, fpe in oracle_tasks:
-            t.join()
-            tol = _tol(dt, fpe, holder["scale"], rec["n"])
-            rec["max_err"] = float(f"{holder['err']:.3e}")
-            rec["tol"] = float(f"{tol:.3e}")
-            rec["passed"] = bool(holder["err"] <= tol and rec["info"] == 0)
-            fresh.append(rec)
+                    # Drain already-verified oracles in order so their rows
+                    # hit disk while later points are still measuring.
+                    while oracle_tasks and "err" in oracle_tasks[0][1]:
+                        finalize(*oracle_tasks.popleft())
+        while oracle_tasks:
+            finalize(*oracle_tasks.popleft())
 
     results.extend(fresh)
     with open(out_path, "w") as f:
