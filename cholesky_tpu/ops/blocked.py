@@ -75,6 +75,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Force the Ozaki hoisted-peel recursions on (True) / off (False)
+# regardless of problem size — A/B probes (tools/probe_dhoist.py) and
+# tests use this; None = resolve per driver call via _ozaki_hoist.
+_OZAKI_HOIST_OVERRIDE: Optional[bool] = None
+
+
+def _ozaki_hoist(n: Optional[int], op: str = "potrf") -> bool:
+    """Should this driver call use the hoisted-peel Ozaki recursions
+    (_OzakiTiles.trsm_*/trtri_lower/syrk_ln single-peel)?
+
+    Same-day A/B on-chip (tools/probe_dhoist.py,
+    bench_results/dhoist_ab_r5.json): the hoisted bundle LOSES at mid
+    sizes (dpotrf@6144 2375 GF/s vs 2873 prehoist) and WINS at large
+    ones (@8192 3449 vs 2805, 1.23x) — gated by the tuned
+    ``ozaki_f64.hoist_min_n`` threshold (per-op override
+    ``hoist_min_n_<op>``) so each driver call picks the measured-faster
+    variant for its size."""
+    if _OZAKI_HOIST_OVERRIDE is not None:
+        return bool(_OZAKI_HOIST_OVERRIDE)
+    if n is None:
+        return True
+    from cholesky_tpu.tuning import get_params
+    p = get_params("ozaki_f64")
+    return n >= int(p.get(f"hoist_min_n_{op}", p.get("hoist_min_n", 0)))
+
+
 # ---------------------------------------------------------------------------
 # Tile backends
 # ---------------------------------------------------------------------------
@@ -206,9 +232,13 @@ class _OzakiTiles(_XlaTiles):
     default_nb = 128
     slices = 6
 
-    def __init__(self, slices: int = 6):
+    def __init__(self, slices: int = 6, hoist: bool = True):
         super().__init__(jnp.float64)
         self.slices = slices
+        # use the hoisted-peel recursions (trsm_*/trtri_lower and the
+        # single-peel syrk_ln)? Resolved per driver call from the tuned
+        # size threshold (_ozaki_hoist) — measured a loss at mid sizes.
+        self.hoist = hoist
 
     def mm(self, A, B, *, ta="N", tb="N", alpha=1.0, beta=0.0, C=None):
         from cholesky_tpu.ops.ozaki import matmul_f64
@@ -316,6 +346,8 @@ class _OzakiTiles(_XlaTiles):
         waste. Halves the HBM-bound peel traffic of every trailing
         update in the d potrf/lauum recursions (VERDICT r4 Next #2;
         reference dsyrk.cu's single-operand tiling, SURVEY.md §2.2)."""
+        if not self.hoist:      # measured-faster per-call-peel variant
+            return super().syrk_ln(alpha, A, beta, C)
         from cholesky_tpu.ops.ozaki import matmul_presplit, split_rows
         As, asc = split_rows(A, self.slices)
         out = matmul_presplit(As, asc, As, asc, out_dtype=self.dtype)
@@ -494,7 +526,8 @@ def _embed_backend(backend: str) -> str:
     explicit backend ('ref'/'xla'/'pallas'/'ozaki') is honored."""
     return "auto" if backend in ("auto", "embed") else backend
 
-def _tiles_for(dtype, backend: str):
+def _tiles_for(dtype, backend: str, n: Optional[int] = None,
+               op: str = "potrf"):
     dtype = jnp.dtype(dtype)
     if backend == "embed":
         check(False, "blocked", 0,
@@ -507,14 +540,14 @@ def _tiles_for(dtype, backend: str):
     if backend == "ozaki":
         check(dtype == jnp.dtype(jnp.float64), "blocked", 0,
               f"ozaki backend supports float64 only, got {dtype}")
-        return _OzakiTiles()
+        return _OzakiTiles(hoist=_ozaki_hoist(n, op))
     if backend == "xla":
         return _XlaTiles(dtype)
     # auto
     if dtype == jnp.dtype(jnp.float32):
         return _PallasTiles()
     if dtype == jnp.dtype(jnp.float64) and config.on_tpu():
-        return _OzakiTiles()
+        return _OzakiTiles(hoist=_ozaki_hoist(n, op))
     return _XlaTiles(dtype)
 
 
@@ -530,7 +563,7 @@ def _trsm_rlt(L, B, t, nb):
     """Solve X·Lᴴ = B (right, lower, conj-transposed, non-unit) — the potrf
     panel solve, via the diagonal-inverse trick at the leaves.
     ("C" degrades to plain transpose for real dtypes.)"""
-    if hasattr(t, "trsm_rlt"):      # Ozaki: hoisted-peel recursion
+    if hasattr(t, "trsm_rlt") and t.hoist:   # Ozaki hoisted peel
         return t.trsm_rlt(L, B, nb)
     n = L.shape[0]
     if n <= nb:
@@ -546,7 +579,7 @@ def _trsm_rlt(L, B, t, nb):
 
 def _trsm_lln(L, B, t, nb, unit):
     """Solve L·X = B (left, lower, no-trans)."""
-    if hasattr(t, "trsm_lln"):      # Ozaki: hoisted-peel recursion
+    if hasattr(t, "trsm_lln") and t.hoist:   # Ozaki hoisted peel
         return t.trsm_lln(L, B, nb, unit)
     n = L.shape[0]
     if n <= nb:
@@ -564,7 +597,7 @@ def _trsm_lln(L, B, t, nb, unit):
 
 def _trsm_llt(L, B, t, nb, unit):
     """Solve Lᵀ·X = B (left, lower, transposed)."""
-    if hasattr(t, "trsm_llt"):      # Ozaki: hoisted-peel recursion
+    if hasattr(t, "trsm_llt") and t.hoist:   # Ozaki hoisted peel
         return t.trsm_llt(L, B, nb, unit)
     n = L.shape[0]
     if n <= nb:
@@ -612,7 +645,7 @@ def _potrf_lower(A, t, nb, allow_mega=False):
 
 
 def _trtri_lower(L, t, nb, unit, allow_mega=False):
-    if hasattr(t, "trtri_lower"):   # Ozaki: hoisted-peel recursion
+    if hasattr(t, "trtri_lower") and t.hoist:   # Ozaki hoisted peel
         return t.trtri_lower(L, nb, unit)
     n = L.shape[0]
     if n <= nb:
@@ -719,7 +752,7 @@ def potrf(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
     n = lapack_ref._square(A, "potrf")
     if backend == "ref":
         return lapack_ref.potrf(uplo, A)
-    t = _tiles_for(A.dtype, backend)
+    t = _tiles_for(A.dtype, backend, n)
     nb = block_size or t.default_nb
     if n == 0:
         return A, jnp.int32(0)
@@ -792,7 +825,7 @@ def trtri(uplo, diag, A, backend: str = "auto",
     n = lapack_ref._square(A, "trtri")
     if backend == "ref":
         return lapack_ref.trtri(uplo, diag, A)
-    t = _tiles_for(A.dtype, backend)
+    t = _tiles_for(A.dtype, backend, n, op="trtri")
     nb = block_size or t.default_nb
     if n == 0:
         return A, jnp.int32(0)
@@ -829,7 +862,7 @@ def lauum(uplo, A, backend: str = "auto", block_size: Optional[int] = None):
     n = lapack_ref._square(A, "lauum")
     if backend == "ref":
         return lapack_ref.lauum(uplo, A)
-    t = _tiles_for(A.dtype, backend)
+    t = _tiles_for(A.dtype, backend, n, op="lauum")
     nb = block_size or t.default_nb
     if n == 0:
         return A
@@ -885,7 +918,9 @@ def _check_no_stray_pairs(name, *operands):
               "alpha/beta so the embedding tier can trace them")
 
 
-def _fast_tiles_or_none(dtype, backend: str):
+def _fast_tiles_or_none(dtype, backend: str,
+                        n: Optional[int] = None,
+                        op: str = "potrf"):
     """Fast tile backend for the BLAS wrappers, or None to use blas_ref:
     f32 → Pallas; f64 → Ozaki (explicit, or 'auto' on TPU). Complex is
     routed to the embedding BEFORE this is consulted (_route_complex);
@@ -901,7 +936,7 @@ def _fast_tiles_or_none(dtype, backend: str):
         return _PallasTiles()
     if dtype == jnp.dtype(jnp.float64) and (
             backend == "ozaki" or (backend == "auto" and config.on_tpu())):
-        return _OzakiTiles()
+        return _OzakiTiles(hoist=_ozaki_hoist(n, op))
     if backend == "xla" and not is_complex(dtype):
         return _XlaTiles(dtype)
     return None
@@ -944,7 +979,8 @@ def syrk(uplo, trans, alpha, A, beta, C, backend: str = "auto"):
             return _ps.syrk_f32(X, C, alpha=float(alpha), beta=float(beta))
         # upper triangle = transpose of the lower-triangle computation on Cᵀ
         return _ps.syrk_f32(X, C.T, alpha=float(alpha), beta=float(beta)).T
-    t = _fast_tiles_or_none(getattr(A, "dtype", None), backend) \
+    t = _fast_tiles_or_none(getattr(A, "dtype", None), backend,
+                            n=C.shape[0], op="syrk") \
         if not isinstance(A, tuple) and _static_scalar(alpha) \
         and _static_scalar(beta) else None
     if t is not None:      # f64 on TPU: Ozaki tiles instead of software f64
@@ -1087,8 +1123,9 @@ def trsm(side, uplo, transa, diag, alpha, A, B, backend: str = "auto",
     uplo = norm_uplo(uplo)
     transa = norm_trans(transa)
     diag = norm_diag(diag)
-    t = _fast_tiles_or_none(A.dtype, backend) if _static_scalar(alpha) \
-        else None
+    t = _fast_tiles_or_none(A.dtype, backend, n=A.shape[0],
+                            op="trsm") \
+        if _static_scalar(alpha) else None
     if t is None:
         return blas_ref.trsm(side, uplo, transa, diag, alpha, A, B)
     # real dtypes only past this point (_route_complex intercepted complex

@@ -53,6 +53,14 @@ def potf2(uplo, A):
 
     def body_lower(j, carry):
         A, info = carry
+        # freeze-at-first-failure: once info latched, later columns keep
+        # their original values (the reference spotf2 RETURNS at the bad
+        # pivot, lapack/spotrf.c:47-51). Continuing with substituted
+        # pivots squares magnitudes each column ((col − A·rowm)/d with
+        # garbage rows) — doubling-exponent growth that overflowed to
+        # ±Inf within ~12 columns of a failure (found by the r5 verify
+        # drive at n=256), violating the finite-outputs contract.
+        frozen = info > 0
         row = lax.dynamic_slice(A, (j, 0), (1, n))[0]
         maskj = idx < j
         rowm = jnp.where(maskj, row, jnp.zeros((), A.dtype))
@@ -68,11 +76,13 @@ def potf2(uplo, A):
         newcol = (col - v) / d.astype(A.dtype)
         out = jnp.where(idx > j, newcol,
                         jnp.where(idx == j, d.astype(A.dtype), col))
-        A = lax.dynamic_update_slice(A, out[:, None], (0, j))
+        A = lax.dynamic_update_slice(
+            A, jnp.where(frozen, col, out)[:, None], (0, j))
         return A, info
 
     def body_upper(j, carry):
         A, info = carry
+        frozen = info > 0   # freeze-at-first-failure (see body_lower)
         col = lax.dynamic_slice(A, (0, j), (n, 1))[:, 0]
         maskj = idx < j
         colm = jnp.where(maskj, col, jnp.zeros((), A.dtype))
@@ -86,7 +96,8 @@ def potf2(uplo, A):
         newrow = (row - v) / d.astype(A.dtype)
         out = jnp.where(idx > j, newrow,
                         jnp.where(idx == j, d.astype(A.dtype), row))
-        A = lax.dynamic_update_slice(A, out[None, :], (j, 0))
+        A = lax.dynamic_update_slice(
+            A, jnp.where(frozen, row, out)[None, :], (j, 0))
         return A, info
 
     body = body_lower if uplo == Uplo.LOWER else body_upper

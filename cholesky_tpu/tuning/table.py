@@ -59,6 +59,13 @@ DEFAULTS = {
     "potrf_f32": {"leaf_nb": 128, "mega_max_n": 8192},
     "trtri_f32": {"mega_max_n": 4096},
     "lauum_f32": {"mega_max_n": 8192},
+    # hoist_min_n: smallest driver-level n that uses the hoisted-peel
+    # Ozaki recursions (ops/blocked.py _ozaki_hoist); per-op override
+    # hoist_min_n_<op>. Same-day A/B on-chip (tools/probe_dhoist.py,
+    # bench_results/dhoist_ab_r5.json): per-call-peel wins at mid sizes
+    # (dpotrf@6144 2873 vs 2375 GF/s), hoisted wins large (@8192 3449
+    # vs 2805) — crossover between 6144 and 8192.
+    "ozaki_f64": {"hoist_min_n": 7168},
 }
 
 

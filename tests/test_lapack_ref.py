@@ -169,3 +169,27 @@ def test_potrf_potri_roundtrip_identity():
     InvFull = np.tril(np.asarray(Inv)) + np.tril(np.asarray(Inv), -1).T
     I = to_np128(A) @ InvFull
     assert np.max(np.abs(I - np.eye(N))) < 1e-9
+
+
+@pytest.mark.parametrize("uplo", ["U", "L"])
+def test_potf2_freezes_past_failure(uplo):
+    """Columns past the first failed pivot keep their original values
+    (reference spotf2 returns at the bad pivot, lapack/spotrf.c:47-51).
+    The old continue-with-substituted-pivot behavior squared magnitudes
+    every column — doubling-exponent growth that overflowed to ±Inf
+    within ~12 columns (r5 verify drive, n=256 f64 via the Ozaki rescue
+    leaf) — violating the finite-outputs contract."""
+    n = 96
+    A = np.asarray(spd(n, jnp.float64, cond=10.0)).copy()
+    A[5, 5] = -2.0
+    A = jnp.asarray(0.5 * (A + A.T))
+    F, info = lp.potf2(uplo, A)
+    assert int(info) == 6
+    Fn = np.asarray(F)
+    assert np.isfinite(Fn).all()
+    # frozen region: columns (lower) / rows (upper) past the failing
+    # pivot are bit-identical to the input
+    if uplo == "L":
+        np.testing.assert_array_equal(np.tril(Fn)[:, 6:], np.tril(np.asarray(A))[:, 6:])
+    else:
+        np.testing.assert_array_equal(np.triu(Fn)[6:, :], np.triu(np.asarray(A))[6:, :])

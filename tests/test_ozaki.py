@@ -22,6 +22,16 @@ def rnd(seed, shape, spread=False):
     return jnp.asarray(x)
 
 
+@pytest.fixture(params=[True, False], ids=["hoist", "prehoist"])
+def hoist_gate(request, monkeypatch):
+    """Force BOTH Ozaki recursion variants through the size gate
+    (blocked._ozaki_hoist): the tuned default routes small test sizes to
+    the per-call-peel variant, so the hoisted recursions would silently
+    lose coverage without this."""
+    monkeypatch.setattr(blocked, "_OZAKI_HOIST_OVERRIDE", request.param)
+    return request.param
+
+
 @pytest.mark.parametrize("k", [64, 300, 1024])
 @pytest.mark.parametrize("spread", [False, True])
 def test_matmul_f64_accuracy(k, spread):
@@ -136,7 +146,7 @@ def test_dtrsm_ozaki_backend():
 
 @pytest.mark.parametrize("uplo", ["L", "U"])
 @pytest.mark.parametrize("diag", ["N", "U"])
-def test_dtrtri_ozaki_hoisted_variants(uplo, diag):
+def test_dtrtri_ozaki_hoisted_variants(uplo, diag, hoist_gate):
     # trtri routes through _OzakiTiles.trtri_lower (hoisted shared peel
     # of Lᵀ, VERDICT r4 Next #2): cover upper + unit canonicalizations
     T = generators.random_triangular(jax.random.PRNGKey(9), 200, uplo, diag,
@@ -160,7 +170,7 @@ def test_dtrtri_ozaki_hoisted_variants(uplo, diag):
 @pytest.mark.parametrize("uplo", ["L", "U"])
 @pytest.mark.parametrize("trans", ["N", "T"])
 @pytest.mark.parametrize("diag", ["N", "U"])
-def test_dtrsm_ozaki_all_combos(side, uplo, trans, diag):
+def test_dtrsm_ozaki_all_combos(side, uplo, trans, diag, hoist_gate):
     # the 16 canonicalized combos all land on the hoisted-peel
     # _OzakiTiles.trsm_lln / trsm_llt recursions (VERDICT r4 Next #2);
     # reference per-combination kernels blas/dtrsm.cu
@@ -182,7 +192,7 @@ def test_dtrsm_ozaki_all_combos(side, uplo, trans, diag):
     assert rel < 1e-8, (side, uplo, trans, diag, rel)
 
 
-def test_dsyrk_ozaki_single_peel():
+def test_dsyrk_ozaki_single_peel(hoist_gate):
     # public syrk on the Ozaki tiles goes through syrk_ln (one peel for
     # both sides); verify against the two-peel generic mm formulation
     A = jnp.asarray(np.random.RandomState(7).randn(200, 96))
@@ -362,3 +372,40 @@ def test_dpotrf_inverse_leaf_refinement(monkeypatch):
     Abad[100, 100] = -3.0
     _, ib = blocked.potrf("L", jnp.asarray(Abad), backend="ozaki")
     assert int(ib) == 101
+
+
+def test_ozaki_hoist_gate_routing(monkeypatch):
+    """The tuned ozaki_f64.hoist_min_n threshold picks the recursion
+    variant per driver call (same-day A/B: the hoisted bundle loses at
+    mid sizes — bench_results/dhoist_ab_r5.json)."""
+    from cholesky_tpu import tuning
+
+    real = tuning.get_params
+
+    def fake(op, device_kind=None):
+        if op == "ozaki_f64":
+            return {"hoist_min_n": 512}
+        return real(op, device_kind)
+
+    monkeypatch.setattr(blocked, "_OZAKI_HOIST_OVERRIDE", None)
+    import cholesky_tpu.tuning as tuning_mod
+    monkeypatch.setattr(tuning_mod, "get_params", fake)
+    assert not blocked._ozaki_hoist(256)
+    assert blocked._ozaki_hoist(512)
+    assert blocked._ozaki_hoist(None)   # BLAS entries without a square n
+    # override wins over the table in both directions
+    monkeypatch.setattr(blocked, "_OZAKI_HOIST_OVERRIDE", True)
+    assert blocked._ozaki_hoist(64)
+    monkeypatch.setattr(blocked, "_OZAKI_HOIST_OVERRIDE", False)
+    assert not blocked._ozaki_hoist(1 << 20)
+
+
+def test_dpotrf_gate_variants_agree(hoist_gate):
+    # the two recursion variants must produce the same factor to f64
+    # refinement accuracy — the gate is a perf knob, never a semantics one
+    A = latmc(jax.random.PRNGKey(11), 192, 50.0, jnp.float64)
+    L, info = blocked.potrf("L", A, backend="ozaki", block_size=64)
+    assert int(info) == 0
+    ref = np.linalg.cholesky(np.asarray(A))
+    rel = np.max(np.abs(np.tril(np.asarray(L)) - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-9, (hoist_gate, rel)

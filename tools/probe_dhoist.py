@@ -11,11 +11,11 @@ lengths), so the comparison is same-day clean:
 
   config A  — as committed (hoisted trsm_rlt/lln/llt, trtri_lower,
               single-peel syrk_ln on _OzakiTiles)
-  config B  — the five hoist methods delattr'd from _OzakiTiles, restoring
-              the exact pre-hoist dispatch (generic recursions + inherited
-              _XlaTiles.syrk_ln over _OzakiTiles.mm)
+  config B  — the hoist gate forced off (blocked._OZAKI_HOIST_OVERRIDE),
+              restoring the exact pre-hoist dispatch (generic recursions +
+              inherited _XlaTiles.syrk_ln over _OzakiTiles.mm)
 
-Dispatch resolves at trace time via hasattr(t, ...), so a fresh jit per
+Dispatch resolves at trace time via the t.hoist gate, so a fresh jit per
 config compiles genuinely different programs.  Emits one JSON line.
 Shares /tmp/jax_sweep_cache with tools/sweep.py so config-A executables
 are reused by (or warm) the golden re-record sweeps.
@@ -42,10 +42,6 @@ if "--cpu" in sys.argv[1:]:
 
 SIZES = [int(s) for s in (ARGS[0].split(",") if ARGS else ["6144", "8192"])]
 
-HOIST_METHODS = ("syrk_ln", "trsm_rlt", "trsm_lln", "trsm_llt",
-                 "trtri_lower")
-
-
 def main():
     from cholesky_tpu.ops import blocked
     from cholesky_tpu.rng import generators
@@ -60,11 +56,9 @@ def main():
         A = jax.block_until_ready(A)
         row = {"n": n}
         for label, hoisted in (("hoisted", True), ("prehoist", False)):
-            saved = {}
-            if not hoisted:
-                for m in HOIST_METHODS:
-                    saved[m] = blocked._OzakiTiles.__dict__[m]
-                    delattr(blocked._OzakiTiles, m)
+            # force the config through the production gate (the tuned
+            # ozaki_f64.hoist_min_n threshold would otherwise pick)
+            blocked._OZAKI_HOIST_OVERRIDE = hoisted
             try:
                 f = jax.jit(lambda a: blocked.potrf("L", a, backend="auto"))
                 sec, (F, info) = bench_op(f, A, chain=_chain_for(n, "d"),
@@ -76,8 +70,7 @@ def main():
                       f"(t={time.perf_counter() - t0:.0f}s)",
                       file=sys.stderr, flush=True)
             finally:
-                for m, fn in saved.items():
-                    setattr(blocked._OzakiTiles, m, fn)
+                blocked._OZAKI_HOIST_OVERRIDE = None
         row["hoist_speedup"] = round(row["hoisted"] / row["prehoist"], 3)
         out["points"].append(row)
 
