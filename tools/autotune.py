@@ -192,9 +192,47 @@ def tune_mega_crossover(leaf_nb, quick=False, op="potrf"):
     return cap
 
 
+def tune_ozaki_hoist(sizes=(4096, 6144, 8192, 10240)):
+    """ozaki_f64.hoist_min_n: smallest driver n that uses the hoisted-peel
+    d recursions (ops/blocked.py _ozaki_hoist; same A/B as
+    tools/probe_dhoist.py, folded into the autotune table the way the
+    reference re-runs config.c per build).  EXPENSIVE — two cold f64
+    compiles per size — so it only runs under --ozaki."""
+    from cholesky_tpu.rng import latmc
+    jax.config.update("jax_enable_x64", True)
+    best = None
+    prev = None
+    for n in sizes:
+        A = latmc(jax.random.PRNGKey(7), n, 100.0, jnp.float64)
+        rates = {}
+        for hoisted in (True, False):
+            blocked._OZAKI_HOIST_OVERRIDE = hoisted
+            try:
+                t = bench_op(lambda x: blocked.potrf("L", x,
+                                                     backend="auto")[0],
+                             A, chain=4)
+            finally:
+                blocked._OZAKI_HOIST_OVERRIDE = None
+            rates[hoisted] = (n ** 3 / 3) / t / 1e9
+        log(f"  ozaki hoist n={n}: hoisted {rates[True]:.0f} vs "
+            f"per-call {rates[False]:.0f} GF/s")
+        if rates[True] > rates[False] and best is None:
+            # threshold = midpoint of the bracketing sizes, 128-aligned
+            lo = prev if prev is not None else n // 2
+            best = ((lo + n) // 2 + 127) // 128 * 128
+        prev = n
+    if best is None:
+        best = 1 << 30      # hoisted never won: effectively off
+    log(f"ozaki hoist_min_n = {best}")
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--ozaki", action="store_true",
+                    help="also re-measure ozaki_f64.hoist_min_n "
+                         "(two cold f64 compiles per probe size)")
     args = ap.parse_args()
 
     kind = jax.devices()[0].device_kind
@@ -213,6 +251,8 @@ def main():
         pf["leaf_nb"], quick=args.quick, op="trtri")}
     table["lauum_f32"] = {"mega_max_n": tune_mega_crossover(
         pf["leaf_nb"], quick=args.quick, op="lauum")}
+    if args.ozaki:
+        table["ozaki_f64"] = {"hoist_min_n": tune_ozaki_hoist()}
     table["_meta"] = {"device_kind": kind,
                       "matmul_tflops": round(mm_tf, 2),
                       "syrk_useful_tflops": round(sy_tf, 2),
